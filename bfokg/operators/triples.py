@@ -1,0 +1,141 @@
+"""(subj, pred, obj) triple extraction, dedup, and graph materialization.
+
+north_star dataflow: transcripts → batched triple extraction (vectorized
+pandas UDF over turn text) → entity linking of subj/obj mentions
+(broadcast alias join) → canonicalization of each linked entity into its
+BFO class (classifier strategies + P31/P279 closure) → per
+(subj_qid, pred, obj_qid) window dedup keeping FIRST by
+(ts, conv_id, turn_idx) → partitioned node/edge tables.
+
+The extraction grammar is the closed relation grammar planted by
+datagen.RELATION_PREDICATES — subject and object must be known surface
+forms, the predicate one of the closed phrase set. At production scale the
+same kernel shape holds (regex/model-based extractor inside mapInPandas);
+only the pattern/model changes.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..datagen import RELATION_PREDICATES
+from .linking import alias_rows, surface_pattern
+
+RAW_TRIPLES_SCHEMA = (
+    "conv_id string, turn_idx int, ts timestamp, "
+    "subj_mention string, pred string, obj_mention string"
+)
+
+# phrase → predicate id, e.g. "is related to" → related_to
+_PHRASE_TO_PRED = {
+    "is related to": "related_to",
+    "is located in": "located_in",
+    "is part of": "part_of",
+    "was studied by": "studied_by",
+    "influenced": "influenced",
+}
+assert {p for p, _t in RELATION_PREDICATES} == set(_PHRASE_TO_PRED.values())
+
+
+def triple_pattern(surfaces: list[str] | None = None) -> str:
+    ent = surface_pattern(surfaces)[2:-2]  # strip the \b( … )\b wrapper
+    phrases = sorted(_PHRASE_TO_PRED, key=len, reverse=True)
+    ph = "|".join(re.escape(p) for p in phrases)
+    return rf"\b({ent})\s+({ph})\s+({ent})\b"
+
+
+def extract_triples(transcripts: DataFrame, surfaces: list[str] | None = None) -> DataFrame:
+    """One vectorized mapInPandas pass: turn text → raw mention-level triples."""
+    pattern = triple_pattern(surfaces)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rx = re.compile(pattern, re.IGNORECASE)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hits = pdf["text"].fillna("").str.findall(rx)
+            counts = hits.str.len().to_numpy()
+            idx = pdf.index.repeat(counts)
+            out = pdf.loc[idx, ["conv_id", "turn_idx", "ts"]].reset_index(drop=True)
+            flat = [m for row in hits for m in row]
+            out["subj_mention"] = [s.lower() for s, _p, _o in flat]
+            out["pred"] = [_PHRASE_TO_PRED[p.lower()] for _s, p, _o in flat]
+            out["obj_mention"] = [o.lower() for _s, _p, o in flat]
+            yield out
+
+    return transcripts.select("conv_id", "turn_idx", "ts", "text").mapInPandas(
+        scan, RAW_TRIPLES_SCHEMA
+    )
+
+
+def link_triples(raw_triples: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """Resolve subj/obj mentions to QIDs via two broadcast joins against the
+    max-prior-per-alias resolution (deterministic prior DESC, qid ASC)."""
+    best = Window.partitionBy("alias").orderBy(F.desc("prior"), F.asc("qid"))
+    resolved = (
+        alias_dict.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select("alias", "qid")
+    )
+    subj = resolved.select(
+        F.col("alias").alias("subj_mention"), F.col("qid").alias("subj_qid")
+    )
+    obj = resolved.select(
+        F.col("alias").alias("obj_mention"), F.col("qid").alias("obj_qid")
+    )
+    return (
+        raw_triples.join(F.broadcast(subj), "subj_mention")
+        .join(F.broadcast(obj), "obj_mention")
+        .select("conv_id", "turn_idx", "ts", "subj_qid", "pred", "obj_qid")
+    )
+
+
+def dedup_triples(linked: DataFrame) -> DataFrame:
+    """One edge per (subj_qid, pred, obj_qid), keeping FIRST occurrence by
+    (ts, conv_id, turn_idx) — the north_star dedup window. Deterministic:
+    the orderBy is a total order within each key."""
+    w = Window.partitionBy("subj_qid", "pred", "obj_qid").orderBy(
+        "ts", "conv_id", "turn_idx"
+    )
+    return (
+        linked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def edges_df(transcripts: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """transcripts → deduped edge table with a partition column."""
+    deduped = dedup_triples(link_triples(extract_triples(transcripts), alias_dict))
+    return deduped.withColumn("part", F.col("pred"))
+
+
+def nodes_df(edges: DataFrame, assignments: DataFrame) -> DataFrame:
+    """Distinct graph nodes joined to their BFO canonicalization.
+
+    ``assignments`` carries (entity_id → class_uri/class_label/confidence/
+    source) rows (rank-1 matches of whichever strategy ran)."""
+    qids = (
+        edges.select(F.col("subj_qid").alias("qid"))
+        .unionByName(edges.select(F.col("obj_qid").alias("qid")))
+        .distinct()
+    )
+    return (
+        qids.join(
+            assignments.select(
+                F.col("entity_id").alias("qid"),
+                F.col("class_uri").alias("bfo_class_uri"),
+                F.col("class_label").alias("bfo_label"),
+                "confidence",
+                "source",
+            ),
+            "qid",
+            "left",
+        )
+        .withColumn("part", F.coalesce(F.col("bfo_label"), F.lit("unclassified")))
+    )

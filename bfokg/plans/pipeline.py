@@ -1,0 +1,110 @@
+"""The flagship KG-construction DAG, checkpoint-resumable.
+
+transcripts ─▶ extract_triples (mapInPandas) ─▶ link (broadcast) ─▶ dedup
+(window) ─▶ edges; distinct qids × classifier strategy ─▶ nodes; every
+stage commits a warehouse snapshot + lineage rows, and a re-run with
+``resume=True`` skips every stage whose snapshot is already committed
+(north_rule: "resumable from checkpoint with per-partition lineage +
+metrics").
+
+Stage boundaries are chosen at the expensive shuffles so resume skips real
+work: the extract stage (Python kernel) and the dedup shuffle each commit.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import TOP_K_DEFAULT
+from ..fixtures import entities_df
+from ..functions.text import with_entity_text
+from ..ontology import bfo_classes_df
+from ..operators.linking import alias_dict_df
+from ..operators.rule_based import classify_rule_based, keyword_rules_df, p31_rules_df
+from ..operators.semantic import classify_semantic
+from ..operators.strategies import cascade
+from ..operators.triples import dedup_triples, extract_triples, link_triples, nodes_df
+from ..sources.warehouse import LineageLog, is_committed, read_table, write_table
+
+
+def default_classifiers(spark: SparkSession):
+    classes = bfo_classes_df(spark)
+    p31 = p31_rules_df(spark)
+    kw = keyword_rules_df(spark)
+    return {
+        "rule_based": lambda df, k: classify_rule_based(df, classes, p31, kw, top_k=k or TOP_K_DEFAULT),
+        "semantic": lambda df, k: classify_semantic(df, top_k=k),
+    }
+
+
+def classify_entities(spark: SparkSession, entities: DataFrame | None = None) -> DataFrame:
+    """Entity → BFO assignment via the cascade strategy (rank-1 rows)."""
+    ents = with_entity_text(entities if entities is not None else entities_df(spark))
+    matches, _trace = cascade(ents, default_classifiers(spark))
+    return matches.where(F.col("rank") == 1)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    resume: bool = False,
+) -> dict:
+    """Run the full DAG; returns {'edges': manifest, 'nodes': manifest,
+    'lineage': manifest|None, 'skipped': [stages]}."""
+    alias_dict = alias_dict_df(spark)
+    log = LineageLog(spark)
+    skipped = []
+
+    raw_dir = os.path.join(out_dir, "raw_triples")
+    edges_dir = os.path.join(out_dir, "edges")
+    nodes_dir = os.path.join(out_dir, "nodes")
+
+    # -- stage 1: extract (the Python kernel — most expensive per row) -----
+    if resume and is_committed(raw_dir):
+        skipped.append("extract")
+        raw = read_table(spark, raw_dir)
+    else:
+        t0 = time.time()
+        n_in = transcripts.count()
+        raw = extract_triples(transcripts)
+        write_table(raw, raw_dir)
+        raw = read_table(spark, raw_dir)
+        log.record("extract", n_in, raw.count(), t0)
+
+    # -- stage 2: link + dedup + edges --------------------------------------
+    if resume and is_committed(edges_dir):
+        skipped.append("edges")
+        edges = read_table(spark, edges_dir)
+    else:
+        t0 = time.time()
+        linked = link_triples(raw, alias_dict)
+        deduped = dedup_triples(linked).withColumn("part", F.col("pred"))
+        em = write_table(deduped, edges_dir, partition_by=["part"])
+        edges = read_table(spark, edges_dir)
+        log.record("edges", raw.count(), em["rows"], t0,
+                   extra={"dedup_key": "(subj_qid,pred,obj_qid)"})
+
+    # -- stage 3: nodes (classification join) -------------------------------
+    if resume and is_committed(nodes_dir):
+        skipped.append("nodes")
+        nodes = read_table(spark, nodes_dir)
+    else:
+        t0 = time.time()
+        assignments = classify_entities(spark)
+        nodes = nodes_df(edges, assignments)
+        nm = write_table(nodes, nodes_dir, partition_by=["part"])
+        nodes = read_table(spark, nodes_dir)
+        log.record("nodes", edges.count(), nm["rows"], t0)
+
+    lineage_manifest = log.write(os.path.join(out_dir, "lineage"))
+    return {
+        "edges": read_table(spark, edges_dir),
+        "nodes": nodes,
+        "edges_manifest": os.path.join(edges_dir, "_MANIFEST.json"),
+        "lineage": lineage_manifest,
+        "skipped": skipped,
+    }

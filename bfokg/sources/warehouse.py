@@ -1,0 +1,156 @@
+"""Snapshot-versioned parquet warehouse (Iceberg-shaped).
+
+The north_rule materializes node/edge tables as partitioned Iceberg tables
+with snapshot checkpoints and per-partition lineage. This sandbox ships no
+Iceberg runtime jars, so this module provides the same *contract* over
+plain parquet + JSON manifests:
+
+- ``write_table``   — partitioned parquet write that COMMITS a snapshot
+  manifest (atomic rename) recording row count, partition values, schema
+  and the upstream snapshot ids it was derived from.
+- ``read_table``    — reads the latest committed snapshot (readers never
+  see half-written data: files land under a snapshot-suffixed dir first,
+  the manifest rename is the commit point).
+- ``is_committed`` / ``resume`` semantics — a pipeline stage whose
+  snapshot manifest exists is skipped on re-run, giving idempotent,
+  checkpoint-resumable DAGs (tested in tests/test_warehouse_resume.py).
+
+On a real cluster every call here maps 1:1 onto Iceberg:
+write_table → ``df.writeTo(t).partitionedBy(...).createOrReplace()``;
+snapshot manifest → Iceberg snapshot; resume → reading the snapshot log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+LINEAGE_SCHEMA = (
+    "run_id STRING, stage STRING, part STRING, rows_in BIGINT, rows_out BIGINT, "
+    "started_ts TIMESTAMP, finished_ts TIMESTAMP, extra MAP<STRING,STRING>"
+)
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_MANIFEST.json")
+
+
+def snapshot_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def is_committed(table_dir: str) -> bool:
+    return os.path.exists(_manifest_path(table_dir))
+
+
+def read_manifest(table_dir: str) -> dict | None:
+    p = _manifest_path(table_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_table(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: list[str] | None = None,
+    parents: list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Partitioned parquet write + atomic snapshot-manifest commit.
+
+    Returns the manifest. The data dir is written first; the JSON manifest
+    rename is the commit point (crash before it → stage re-runs cleanly)."""
+    snap = snapshot_id()
+    data_dir = os.path.join(table_dir, f"data-{snap}")
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+
+    rows = df.sparkSession.read.parquet(data_dir).count()
+    manifest = {
+        "snapshot_id": snap,
+        "data_dir": data_dir,
+        "rows": rows,
+        "partition_by": partition_by or [],
+        "schema": df.schema.jsonValue(),
+        "parents": parents or [],
+        "committed_at": datetime.now(timezone.utc).isoformat(),
+    }
+    tmp = _manifest_path(table_dir) + f".tmp-{snap}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(table_dir))  # atomic commit
+    # retire superseded snapshots (keep only the committed one)
+    for name in os.listdir(table_dir):
+        full = os.path.join(table_dir, name)
+        if name.startswith("data-") and name != f"data-{snap}" and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+    return manifest
+
+
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    manifest = read_manifest(table_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_dir}")
+    return spark.read.parquet(manifest["data_dir"])
+
+
+class LineageLog:
+    """Per-stage / per-partition lineage + metrics rows (north_rule S7
+    equivalent of the reference's YAML run-logger,
+    classification_logger.py:28-112 — one structured row per stage instead
+    of one YAML file per entity)."""
+
+    def __init__(self, spark: SparkSession, run_id: str | None = None):
+        self.spark = spark
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.rows: list[tuple] = []
+
+    def record(self, stage: str, rows_in: int, rows_out: int, started: float,
+               part: str = "*", extra: dict | None = None):
+        self.rows.append(
+            (
+                self.run_id,
+                stage,
+                part,
+                rows_in,
+                rows_out,
+                datetime.fromtimestamp(started, timezone.utc),
+                datetime.now(timezone.utc),
+                {k: str(v) for k, v in (extra or {}).items()},
+            )
+        )
+
+    def timed(self, stage: str):
+        """Context manager: ``with log.timed('link') as t: t.done(in, out)``."""
+        log = self
+
+        class _Timer:
+            def __enter__(self):
+                self.start = time.time()
+                return self
+
+            def done(self, rows_in: int, rows_out: int, **extra):
+                log.record(stage, rows_in, rows_out, self.start, extra=extra)
+
+            def __exit__(self, *exc):
+                return False
+
+        return _Timer()
+
+    def df(self) -> DataFrame:
+        return self.spark.createDataFrame(self.rows, LINEAGE_SCHEMA)
+
+    def write(self, table_dir: str) -> dict | None:
+        if not self.rows:
+            return None
+        return write_table(self.df(), os.path.join(table_dir, self.run_id))

@@ -1,0 +1,83 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The flagship number is
+the KG-construction dataflow (transcripts → extract → link → dedup →
+edges) measured as wall seconds and derived triples/sec; the rest are the
+operator-level headline queries.
+
+    env PYTHONPATH=/root/repo python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "mentions",
+    "edges",
+    "cascade_assignments",
+    "hierarchical",
+    "dedup_exact",
+    "minhash_lsh",
+    "doc_stats",
+    "embedding_topk",
+    "pricing_summary",
+    "customer_nation_revenue",
+    "events_topn",
+]
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from bfokg.datagen import generate_transcripts, sf_from_dir, sf_to_n_turns
+    from bfokg.session import get_spark
+
+    sf = sf_from_dir(SF_DIR)
+    generate_transcripts(sf)  # idempotent; excluded from timing
+    spark = get_spark(app_name="bfokg-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    # warm the JVM/Python workers once (tiny job, not timed)
+    spark.range(1000).count()
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        counts[name] = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    n_turns = sf_to_n_turns(sf)
+    edges_sec = timings["edges"]
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": {
+            "cpus": int(CPUS),
+            "row_counts": counts,
+            "n_turns": n_turns,
+            "turns_per_sec": round(n_turns / edges_sec, 1) if edges_sec else None,
+            "triples_per_sec": round(counts["edges"] / edges_sec, 1) if edges_sec else None,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

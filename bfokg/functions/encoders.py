@@ -74,6 +74,57 @@ class HashingEncoder:
         return out
 
 
+class VocabTfidfEncoder:
+    """Exact (collision-free) TF-IDF projection onto a reference corpus's
+    vocabulary — the default kernel for BFO-class scoring.
+
+    Built from the 35 class documents: vocab = sorted distinct word tokens,
+    idf = ln((N+1)/(df+1)) + 1. Query texts project onto that vocab
+    (out-of-vocab words can never contribute to a class match, so dropping
+    them loses nothing) and are L2-normalized; cosine against the class
+    matrix is then a pure IDF-weighted lexical-overlap signal with zero
+    hashing noise. Deterministic everywhere; the whole encoder state is a
+    few KB, safely captured into UDF closures.
+
+    This mirrors the reference's kernel CONTRACT (encode → cosine →
+    (sim+1)/2 → top-k, semantic.py:99-110) with a corpus-grounded encoder
+    instead of downloaded SBERT weights (SURVEY.md §7.0).
+    """
+
+    name = "vocab_tfidf"
+
+    def __init__(self, corpus_texts):
+        import math
+
+        docs = [_word_tokens(t or "") for t in corpus_texts]
+        n_docs = len(docs)
+        df: dict[str, int] = {}
+        for d in docs:
+            for w in set(d):
+                df[w] = df.get(w, 0) + 1
+        self.vocab = sorted(df)
+        self.index = {w: i for i, w in enumerate(self.vocab)}
+        self.idf = np.array(
+            [math.log((n_docs + 1) / (df[w] + 1)) + 1.0 for w in self.vocab],
+            dtype=np.float32,
+        )
+        self.dim = len(self.vocab)
+
+    def encode(self, texts) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        index, idf = self.index, self.idf
+        for i, text in enumerate(texts):
+            row = out[i]
+            for w in _word_tokens(text or ""):
+                j = index.get(w)
+                if j is not None:
+                    row[j] += idf[j]
+            norm = np.linalg.norm(row)
+            if norm > 0:
+                row /= norm
+        return out
+
+
 class SentenceTransformerEncoder:
     """Production adapter — requires sentence-transformers at runtime.
 

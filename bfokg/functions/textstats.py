@@ -1,0 +1,87 @@
+"""Text-analysis functions for corpus pipelines — all pure built-in column
+expressions (JVM-side, codegen), each designed to be exactly replicable in
+ANSI SQL so the DuckDB oracle can verify them bit-for-bit.
+
+- token counting: whitespace tokens + a BPE-ish subword estimate
+- language ID: stopword-hit heuristic over small per-language wordlists
+- quality scoring: length/alpha-ratio/stopword-ratio composite
+- fingerprinting: md5 of normalized text (content-defined identity)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "für", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "pour", "que", "une"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "para", "con", "una"],
+}
+
+
+def tokens_col(text_col) -> Column:
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    return F.filter(F.split(F.lower(c), r"[^a-zA-Z0-9']+"), lambda t: t != "")
+
+
+def token_count_col(text_col) -> Column:
+    """Whitespace-ish token count."""
+    return F.size(tokens_col(text_col))
+
+
+def subword_estimate_col(text_col, chars_per_token: float = 4.0) -> Column:
+    """BPE-ish token estimate: ceil(chars/4) bounded below by word count —
+    the standard cheap proxy when no tokenizer ships with the cluster."""
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    return F.greatest(
+        F.ceil(F.length(c) / chars_per_token).cast("int"), token_count_col(text_col)
+    )
+
+
+def stopword_hits_col(text_col, lang: str) -> Column:
+    """Distinct stopwords of ``lang`` present in the text."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(tokens_col(text_col)), words))
+
+
+def lang_id_col(text_col) -> Column:
+    """argmax over per-language stopword hits; ties → 'en' then alphabetical.
+    Unknown (zero hits anywhere) → 'unknown'."""
+    langs = sorted(STOPWORDS, key=lambda l: (l != "en", l))
+    scored = [(lang, stopword_hits_col(text_col, lang)) for lang in langs]
+    best_score = F.greatest(*[s for _, s in scored])
+    pick = F.lit("unknown")
+    for lang, score in reversed(scored):
+        pick = F.when(score == best_score, F.lit(lang)).otherwise(pick)
+    return F.when(best_score > 0, pick).otherwise(F.lit("unknown"))
+
+
+def alpha_ratio_col(text_col) -> Column:
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    return alpha / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score_col(text_col) -> Column:
+    """Composite in [0,1]: 0.4·alpha_ratio + 0.3·stopword signal +
+    0.3·length signal (saturating at 200 tokens). Heuristic but exact and
+    SQL-replicable."""
+    n_tok = token_count_col(text_col)
+    stop_ratio = stopword_hits_col(text_col, "en") / F.lit(10.0)
+    len_signal = F.least(n_tok / F.lit(200.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * alpha_ratio_col(text_col)
+        + F.lit(0.3) * F.least(stop_ratio * 2, F.lit(1.0))
+        + F.lit(0.3) * len_signal
+    )
+
+
+def fingerprint_col(text_col) -> Column:
+    """Content fingerprint: md5 of normalized text. Identical in DuckDB:
+    md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')))."""
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", " "), r" +", " ")
+    )
+    return F.md5(norm)

@@ -43,10 +43,11 @@ _BFO_TREE = [
      ["an atom", "a molecule", "an organism", "a table"]),
     ("BFO_0000040", "MaterialEntity", "IndependentContinuant",
      "an independent continuant that has some portion of matter as part; physical object, substance or thing",
-     ["organism", "fish tank", "planet", "laptop", "valve", "person", "molecule", "cell", "building", "device"]),
+     ["organism", "fish tank", "planet", "laptop", "valve", "person", "molecule", "cell", "building", "device",
+      "a scientist such as a physicist or a chemist", "homo sapiens", "an iron lattice tower", "a protein", "a computer"]),
     ("BFO_0000030", "Object", "MaterialEntity",
      "a material entity which manifests causal unity and is of a type instances of which are maximal relative to the corresponding unity criterion",
-     ["a person", "a car", "an organism", "a molecule of water"]),
+     ["a person", "a car", "an organism", "a molecule of water", "a human being"]),
     ("BFO_0000027", "ObjectAggregate", "MaterialEntity",
      "a material entity consisting exactly of a plurality of objects as member parts",
      ["a population of bacteria", "a collection of coins", "a flock of geese"]),
@@ -76,7 +77,7 @@ _BFO_TREE = [
      ["the color of a tomato", "the role of a teacher", "the mass of a stone"]),
     ("BFO_0000019", "Quality", "SpecificallyDependentContinuant",
      "a specifically dependent continuant that is exhibited if it inheres in an entity at all; a property, characteristic or attribute such as color, shape, mass, temperature or density",
-     ["the color blue", "the temperature of water", "the mass of a planet", "the shape of a leaf", "the density of gold", "brightness", "size"]),
+     ["the color blue", "the temperature of water", "the mass of a planet", "the shape of a leaf", "the density of gold", "brightness", "size", "the visual perception of color"]),
     ("BFO_0000145", "RelationalQuality", "Quality",
      "a quality that inheres in two or more entities; it exists by virtue of a relation between its bearers",
      ["a marriage bond", "the ownership relation between a person and a car"]),
@@ -91,7 +92,8 @@ _BFO_TREE = [
      ["the function of a heart to pump blood", "the purpose of a hammer to drive nails", "the function of an enzyme to catalyze reactions"]),
     ("BFO_0000023", "Role", "RealizableEntity",
      "a realizable entity that exists because its bearer is in some special physical, social, or institutional circumstances; a position, status, occupation or capacity such as teacher, president or catalyst",
-     ["the role of a teacher", "the role of a president", "the role of a catalyst in a reaction", "the occupation of a doctor", "the position of a chief executive"]),
+     ["the role of a teacher", "the role of a president", "the role of a catalyst in a reaction", "the occupation of a doctor", "the position of a chief executive",
+      "an educator or an instructor", "a leader of a country", "the profession of a teacher", "a purpose or capacity natural to a person or thing"]),
     ("BFO_0000031", "GenericallyDependentContinuant", "Continuant",
      "a continuant that generically depends on one or more other entities; it can migrate between bearers, like information",
      ["the pdf file on your laptop", "the novel in its many copies", "a genome sequence"]),
@@ -112,7 +114,7 @@ _BFO_TREE = [
      ["a process", "the beginning of a process", "a temporal region"]),
     ("BFO_0000015", "Process", "Occurrent",
      "an occurrent that has temporal proper parts and depends on some material entity; an event, activity, action, happening, war, revolution, development, growth, change or transformation unfolding in time",
-     ["a war", "a revolution", "the process of cell division", "photosynthesis", "the Olympic Games as an event", "a ceremony", "evolution", "industrialization", "a competition", "the life of an organism"]),
+     ["a war", "a revolution", "the process of cell division", "photosynthesis", "the Olympic Games as an event", "a ceremony", "evolution", "industrialization", "a competition", "the life of an organism", "a global war"]),
     ("BFO_0000182", "History", "Process",
      "a process that is the sum of the totality of processes taking place in the spatiotemporal region occupied by a material entity",
      ["the life history of an organism", "the history of a nation"]),

@@ -1,0 +1,313 @@
+"""Deduplication operators for large-scale text corpora.
+
+No reference counterpart (the reference dedups only via tiny ``set()``
+membership, SURVEY.md §2.4) — these are the training-data-pipeline
+operators a 100 TB corpus engine needs. All are DataFrame compositions;
+the only Python is the MinHash kernel (Arrow-batched, numpy).
+
+Scale notes per operator:
+- exact:        one hash-aggregate on a normalized key. Map-side partial
+                aggregation makes this shuffle |distinct| not |rows|.
+- ngram_jaccard: explode shingles → self-join on shingle → per-pair
+                intersection counts → filter. The shingle join is the
+                classic quadratic blowup; at scale it MUST be preceded by
+                the MinHash/LSH candidate filter below (here it doubles as
+                the exact oracle for small inputs).
+- minhash_lsh:  shingle → k permuted min-hashes → band buckets →
+                candidates join only within buckets → verify with exact
+                jaccard. Linear in corpus size for bounded bucket sizes;
+                banding parameters tune the recall/cost tradeoff.
+- simhash:      64-bit signed-projection fingerprint; near-dups share
+                fingerprints within small Hamming distance; bucket by
+                rotated prefixes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------- exact --
+
+
+def normalize_text_col(col):
+    """Lowercase, collapse whitespace, strip punctuation — the usual
+    exact-dup normalization."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of identical normalized text; keeper = min id.
+    Returns (keeper_id, n_dups, doc_ids)."""
+    return (
+        docs.select(F.col(id_col), normalize_text_col(F.col(text_col)).alias("norm"))
+        .groupBy("norm")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+        .drop("norm")
+    )
+
+
+# -------------------------------------------------------- ngram jaccard --
+
+
+def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc — built-ins only:
+    split → sliding window via transform over indices → explode."""
+    toks = F.split(normalize_text_col(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    # when fewer than n tokens, use the full text as the single shingle
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold."""
+    sh = shingles_df(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- minhash --
+
+# 2^31-1 keeps every a*h + b product under 2^60 — no int64 overflow in the
+# vectorized numpy universal hashing below (a < 2^29, h < 2^31).
+_MERSENNE = (1 << 31) - 1
+_A_MAX = 1 << 29
+
+
+def _perm_params(k: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _A_MAX, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, signature ARRAY<BIGINT>) via one Arrow-batched kernel:
+    shingle → crc32 → k universal-hash mins, vectorized per batch."""
+    from zlib import crc32
+
+    a, b = _perm_params(num_hashes, seed)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
+        ws = _re.compile(r"\s+")
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col].fillna(""):
+                norm = ws.sub(" ", _re.sub(r"[^a-z0-9\s]", " ", text.lower())).strip()
+                toks = norm.split(" ")
+                if len(toks) >= n:
+                    sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                else:
+                    sh = {norm}
+                hv = np.array([crc32(s.encode()) % _MERSENNE for s in sh], dtype=np.int64)
+                # k × |sh| universal hashing, min per row (all < 2^60, no overflow)
+                m = (np.outer(a, hv) + b[:, None]) % _MERSENNE
+                sigs.append(m.min(axis=1))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "signature": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, "doc_id long, signature array<long>"
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding candidate generation, verified with estimated
+    jaccard = matching-minhash fraction. Returns (doc_a, doc_b, est_jaccard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col).persist()
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.slice("signature", i * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "band_sig"),
+    ).withColumn("bucket", F.xxhash64(F.col("band"), F.to_json(F.struct("band_sig"))))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+            / F.lit(num_hashes),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+    return est
+
+
+# -------------------------------------------------------------- simhash --
+
+
+def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprints (Arrow-batched numpy kernel)."""
+    from zlib import crc32
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
+        word = _re.compile(r"[a-z0-9]+")
+        shifts = np.arange(bits, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col].fillna(""):
+                toks = word.findall(text.lower())
+                acc = np.zeros(bits, dtype=np.int64)
+                for t in toks:
+                    h = np.uint64(crc32(t.encode()) | (crc32((t + "#").encode()) << 32))
+                    sign = ((h >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+                    acc += sign
+                fp = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+                # reinterpret the uint64 bit pattern as two's-complement int64
+                out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "simhash": pd.array(out, dtype="int64")}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, "doc_id long, simhash long")
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Candidate pairs by identical 16-bit prefix in any of 4 rotations
+    (any pair within Hamming ≤ 3 of 64 bits shares at least one of 4
+    16-bit blocks by pigeonhole), verified by exact popcount."""
+    fp = simhash_df(docs, id_col, text_col).persist()
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("block_idx", "block"),
+    )
+    cand = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), ["block_idx", "block"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("h_a"),
+            F.col("y.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ----------------------------------------------- embedding near-dup ------
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column, built-ins only
+    (F.aggregate/zip_with dot products — JVM-side, no Python).
+    Quadratic: apply after an LSH bucket stage at scale (see
+    similarity_search.lsh_bucket_candidates)."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        norm.alias("norm"),
+    )
+    a = e.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"))
+    b = e.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"))
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("norm_a") * F.col("norm_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

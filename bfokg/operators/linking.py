@@ -54,13 +54,19 @@ def alias_dict_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def surface_pattern(surfaces: list[str] | None = None) -> str:
-    """Alternation regex over all known surface forms, longest first so
-    'Sahara Desert' wins over 'Sahara'. Case-insensitive word-boundary."""
+def surface_alternation(surfaces: list[str] | None = None) -> str:
+    """Bare alternation over all known surface forms, longest first so
+    'Sahara Desert' wins over 'Sahara'."""
     if surfaces is None:
         surfaces = [r[0] for r in alias_rows()]
     ordered = sorted(set(surfaces), key=lambda s: (-len(s), s))
-    return r"\b(" + "|".join(re.escape(s) for s in ordered) + r")\b"
+    return "|".join(re.escape(s) for s in ordered)
+
+
+def surface_pattern(surfaces: list[str] | None = None) -> str:
+    """Word-boundary-anchored single-group alternation (case-insensitive
+    use)."""
+    return r"\b(" + surface_alternation(surfaces) + r")\b"
 
 
 def extract_mentions(transcripts: DataFrame, surfaces: list[str] | None = None) -> DataFrame:

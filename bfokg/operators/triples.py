@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..datagen import RELATION_PREDICATES
-from .linking import alias_rows, surface_pattern
+from .linking import surface_alternation
 
 RAW_TRIPLES_SCHEMA = (
     "conv_id string, turn_idx int, ts timestamp, "
@@ -43,7 +43,7 @@ assert {p for p, _t in RELATION_PREDICATES} == set(_PHRASE_TO_PRED.values())
 
 
 def triple_pattern(surfaces: list[str] | None = None) -> str:
-    ent = surface_pattern(surfaces)[2:-2]  # strip the \b( … )\b wrapper
+    ent = surface_alternation(surfaces)
     phrases = sorted(_PHRASE_TO_PRED, key=len, reverse=True)
     ph = "|".join(re.escape(p) for p in phrases)
     return rf"\b({ent})\s+({ph})\s+({ent})\b"

@@ -26,7 +26,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..config import TOP_K_DEFAULT
-from ..functions.encoders import HashingEncoder
 from ..functions.text import natural_label
 from ..ontology import _BFO_TREE, OBO
 from .schemas import MATCHES_SCHEMA
@@ -63,7 +62,11 @@ def classify_zeroshot(
     multi_label=False mimics single-label mode: scores softmax-normalized
     across classes (sum to 1); multi_label=True keeps independent (sim+1)/2
     scores (zeroshot.py:121-127)."""
-    enc = encoder or HashingEncoder()
+    if encoder is None:
+        from .semantic import default_class_encoder
+
+        encoder = default_class_encoder()
+    enc = encoder
     uris, labels, matrix = hypothesis_index(enc)
     n_classes = len(uris)
     k = n_classes if top_k is None else min(top_k, n_classes)

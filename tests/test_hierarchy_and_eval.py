@@ -1,0 +1,83 @@
+"""C5 hierarchical traversal + evaluator aggregations + overall fixture
+accuracy of the full engine."""
+
+from pyspark.sql import functions as F
+
+from bfokg.evaluation.evaluator import accuracy, per_class_accuracy, precision_recall
+from bfokg.fixtures import entities_df, fixtures_df
+from bfokg.functions.text import with_entity_text
+from bfokg.ontology import ROOT_URI, bfo_children_df, uri_for_label
+from bfokg.operators.hierarchy import classify_hierarchical
+
+
+def test_hierarchical_shape_and_stops(spark):
+    ents = with_entity_text(entities_df(spark)).limit(6)
+    out = classify_hierarchical(ents, bfo_children_df(spark)).collect()
+    assert len(out) == 6  # exactly one row per entity
+    valid = {"LEAF_NODE", "LOW_CONFIDENCE", "CONFIDENCE_DROP", "NO_CHILD_MATCH", "MAX_DEPTH"}
+    for r in out:
+        assert r.stop_reason in valid
+        assert r.rank == 1
+        assert r.source == "hierarchical_semantic"
+        # path starts at root with confidence 1.0 (hybrid.py:176-186)
+        assert r.path[0].class_uri == ROOT_URI
+        assert r.path[0].confidence == 1.0
+        assert r.depth == len(r.path) - 1
+        # the final path node is the result class
+        assert r.path[-1].class_uri == r.class_uri
+
+
+def test_hierarchical_descends_for_clear_cases(spark):
+    """'Blue: color …' has strong Quality overlap — traversal should leave
+    the root (depth ≥ 1) and land inside the continuant subtree."""
+    ents = with_entity_text(entities_df(spark)).where(F.col("id") == "Q_SYNTH_40")
+    row = classify_hierarchical(ents, bfo_children_df(spark)).first()
+    assert row.depth >= 1
+    assert row.class_uri != ROOT_URI
+
+
+def test_evaluator_math(spark):
+    preds = spark.createDataFrame(
+        [("e1", uri_for_label("Quality"), "Quality", 0.9, "semantic", 1),
+         ("e1", uri_for_label("Role"), "Role", 0.5, "semantic", 2),
+         ("e2", uri_for_label("Process"), "Process", 0.9, "semantic", 1)],
+        "entity_id string, class_uri string, class_label string, "
+        "confidence double, source string, rank int",
+    )
+    golden = spark.createDataFrame(
+        [("e1", "Role", uri_for_label("Role")),
+         ("e2", "Quality", uri_for_label("Quality"))],
+        "entity_id string, gt_bfo_label string, gt_bfo_uri string",
+    )
+    # hit@3: e1 hits (Role at rank 2), e2 misses → 0.5
+    acc = accuracy(preds, golden, top_k=3).first()
+    assert acc.accuracy == 0.5 and acc.correct == 1 and acc.total == 2
+    # hit@1: both miss
+    assert accuracy(preds, golden, top_k=1).first().accuracy == 0.0
+    per_class = {r.gt_bfo_label: r.accuracy for r in per_class_accuracy(preds, golden).collect()}
+    assert per_class == {"Role": 1.0, "Quality": 0.0}
+    pr = precision_recall(
+        preds.where(F.col("rank") == 1), golden.select(
+            "entity_id", F.col("gt_bfo_uri").alias("class_uri")),
+        keys=["entity_id", "class_uri"],
+    )
+    assert pr["precision"] == 0.0 and pr["recall"] == 0.0
+
+
+def test_engine_hit3_on_reference_fixtures(spark):
+    """North-rule quality gate: the full cascade engine hits ≥ 90% hit@3 on
+    the reference's 29 labeled fixtures (reference cascade: 91%,
+    ARCHITECTURE.md:108-113)."""
+    from bfokg.plans.pipeline import classify_entities
+
+    golden = fixtures_df(spark).select("id", "gt_bfo_label", "gt_bfo_uri")
+    golden = golden.withColumnRenamed("id", "entity_id")
+    # classify_entities returns rank-1; re-run cascade for full top-k
+    from bfokg.operators.strategies import cascade
+    from bfokg.plans.pipeline import default_classifiers
+
+    ents = with_entity_text(entities_df(spark))
+    matches, _ = cascade(ents, default_classifiers(spark))
+    acc = accuracy(matches, golden, top_k=3).first()
+    assert acc.total == 29
+    assert acc.accuracy >= 0.90, f"hit@3 degraded: {acc.accuracy}"

@@ -492,12 +492,12 @@ ORACLE_SF = 0.01  # the driver compares at sf=0.01
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf = sf_from_dir(sf_dir)
     path = generate_transcripts(sf)
-    return spark.read.parquet(os.path.join(path, "transcripts.parquet"))
+    return spark.read.parquet(path)
 
 
 def _oracle_transcripts_path() -> str:
     generate_transcripts(ORACLE_SF)
-    return os.path.join(REPO, "data", "transcripts", f"sf{ORACLE_SF:g}", "transcripts.parquet")
+    return os.path.join(REPO, "data", "transcripts", f"sf{ORACLE_SF:g}", "*.parquet")
 
 
 def q_transcripts_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,6 +944,73 @@ QUALIFY rank <= 3
 """
 
 
+def q_wikidata_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule core: P31/P279 superclass-chain canonicalization as an
+    iterative self-join closure + nearest-anchor winner per qid."""
+    from bfokg.operators.wikidata import (
+        canonicalize_qids,
+        wd_anchors_df,
+        wikidata_claims_df,
+    )
+
+    return canonicalize_qids(wikidata_claims_df(spark), wd_anchors_df(spark))
+
+
+def _sql_wikidata_canon() -> str:
+    from bfokg.ontology import uri_for_label
+    from bfokg.operators.wikidata import (
+        CLAIM_CANON_CONFIDENCE,
+        WD_BFO_ANCHORS,
+        WD_P31,
+        WD_P279_EDGES,
+    )
+
+    claims = ",\n    ".join(
+        [f"({_q(e)}, 'P31', {_q(c)})" for e, cs in sorted(WD_P31.items()) for c in cs]
+        + [f"({_q(c)}, 'P279', {_q(p)})" for c, p in WD_P279_EDGES]
+    )
+    anchors = ",\n    ".join(
+        f"({_q(w)}, {_q(b)}, {_q(uri_for_label(b))})" for w, b in WD_BFO_ANCHORS
+    )
+    return f"""
+WITH claims(qid, property, value_qid) AS (VALUES
+    {claims}),
+anchors(wd_class, bfo_label, class_uri) AS (VALUES
+    {anchors}),
+p279(child, parent) AS (
+  SELECT qid, value_qid FROM claims WHERE property = 'P279'
+),
+nodes(node) AS (
+  SELECT child FROM p279 UNION SELECT parent FROM p279
+),
+closure(descendant_uri, ancestor_uri, distance) AS (
+  WITH RECURSIVE walk(descendant_uri, ancestor_uri, distance) AS (
+    SELECT child, parent, 1 FROM p279
+    UNION ALL
+    SELECT w.descendant_uri, e.parent, w.distance + 1
+    FROM walk w JOIN p279 e ON w.ancestor_uri = e.child
+  )
+  SELECT DISTINCT * FROM walk
+  UNION ALL
+  SELECT node, node, 0 FROM nodes
+),
+reach AS (
+  SELECT c.qid, cl.ancestor_uri AS via_class, cl.distance
+  FROM claims c JOIN closure cl ON c.value_qid = cl.descendant_uri
+  WHERE c.property = 'P31'
+),
+anchored AS (
+  SELECT r.qid, a.class_uri, a.bfo_label, r.via_class, r.distance,
+         row_number() OVER (PARTITION BY r.qid
+                            ORDER BY r.distance ASC, a.bfo_label ASC, r.via_class ASC) AS rn
+  FROM reach r JOIN anchors a ON r.via_class = a.wd_class
+)
+SELECT qid, class_uri, bfo_label, via_class, distance,
+       CAST({CLAIM_CANON_CONFIDENCE} AS DOUBLE) AS confidence
+FROM anchored WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Rows-only queries (encoder/kernel-backed — no SQL oracle; pytest covers
 # their semantics, the driver records a rows-only check)
@@ -1063,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble": q_ensemble,                        # A1/C2
         "hybrid_confidence": q_hybrid_confidence,      # A2/C3
         "cascade_trace": q_cascade_trace,              # C1
+        "wikidata_canon": q_wikidata_canon,            # P31/P279 closure canon
         "semantic_matches": q_semantic_matches,        # M1/M2/T1/P7 (rows-only)
         "zeroshot_matches": q_zeroshot_matches,        # M3/P8/P9 (rows-only)
         "cascade_assignments": q_cascade_assignments,  # C1 full (rows-only)
@@ -1101,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "ensemble": SQL_ENSEMBLE,
         "hybrid_confidence": SQL_HYBRID,
         "cascade_trace": SQL_CASCADE_TRACE,
+        "wikidata_canon": _sql_wikidata_canon(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "doc_stats": _sql_doc_stats(),

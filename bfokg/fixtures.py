@@ -99,3 +99,57 @@ def entities_df(spark: SparkSession, include_micro: bool = False) -> DataFrame:
 
 def micro_entities_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(_MICRO, ENTITY_SCHEMA)
+
+
+def sample_entity(df: DataFrame, seed: int = 42) -> DataFrame:
+    """S2 — the reference's fetch_random_entity() as a seeded sample
+    (driver-side convenience; ORDER BY rand(seed) LIMIT 1)."""
+    from pyspark.sql import functions as F
+
+    return df.orderBy(F.rand(seed)).limit(1)
+
+
+def save_fixtures_json(path: str) -> None:
+    """S6 — JSON corpus persistence, format mirroring the reference
+    (synthetic_data.py:170-210): [{"entity": {...}, "ground_truth_uri"}]."""
+    import json
+
+    payload = [
+        {
+            "entity": {
+                "id": eid,
+                "label": label,
+                "description": desc,
+                "aliases": list(aliases),
+                "claims": {},
+            },
+            "ground_truth_uri": uri_for_label(gt),
+        }
+        for eid, label, desc, aliases, gt in _FIXTURES
+    ]
+    with open(path, "w") as f:
+        json.dump(payload, f, ensure_ascii=False, indent=1)
+
+
+def load_fixtures_json(spark: SparkSession, path: str) -> DataFrame:
+    """S6 — load the JSON corpus back into the fixtures schema."""
+    import json
+
+    from .ontology import _LABEL_TO_URI
+
+    uri_to_label = {v: k for k, v in _LABEL_TO_URI.items()}
+    with open(path) as f:
+        payload = json.load(f)
+    rows = [
+        (
+            r["entity"]["id"],
+            r["entity"]["label"],
+            r["entity"]["description"],
+            r["entity"]["aliases"],
+            r["entity"].get("claims", {}),
+            uri_to_label[r["ground_truth_uri"]],
+            r["ground_truth_uri"],
+        )
+        for r in payload
+    ]
+    return spark.createDataFrame(rows, FIXTURE_SCHEMA)

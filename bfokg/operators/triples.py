@@ -49,9 +49,24 @@ def triple_pattern(surfaces: list[str] | None = None) -> str:
     return rf"\b({ent})\s+({ph})\s+({ent})\b"
 
 
-def extract_triples(transcripts: DataFrame, surfaces: list[str] | None = None) -> DataFrame:
-    """One vectorized mapInPandas pass: turn text → raw mention-level triples."""
+def extract_triples(
+    transcripts: DataFrame,
+    surfaces: list[str] | None = None,
+    prefilter: bool = True,
+) -> DataFrame:
+    """One vectorized mapInPandas pass: turn text → raw mention-level triples.
+
+    ``prefilter`` pushes a cheap JVM-side ``rlike`` on the closed predicate
+    phrases in front of the Python kernel: a row with no relation phrase
+    cannot produce a triple, so the expensive kernel only sees the
+    candidate rows (on realistic transcripts that's a small fraction —
+    semantics identical, Python cost cut proportionally). At 100 TB this
+    is THE filter-pushdown that keeps the Python surface small.
+    """
     pattern = triple_pattern(surfaces)
+    if prefilter:
+        phrase_rx = "(?i)" + "|".join(re.escape(p) for p in _PHRASE_TO_PRED)
+        transcripts = transcripts.where(F.col("text").rlike(phrase_rx))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rx = re.compile(pattern, re.IGNORECASE)

@@ -30,14 +30,40 @@ from ..operators.triples import dedup_triples, extract_triples, link_triples, no
 from ..sources.warehouse import LineageLog, is_committed, read_table, write_table
 
 
-def default_classifiers(spark: SparkSession):
+def default_classifiers(spark: SparkSession, config=None):
+    """C9 — config-gated classifier table (reference hybrid.py:54-95: the
+    zeroshot stage only exists when a model is configured; finetuned is a
+    disabled stub slot, configs/classification.yaml:55-57)."""
+    from ..config import EngineConfig
+
+    cfg = config or EngineConfig()
     classes = bfo_classes_df(spark)
     p31 = p31_rules_df(spark)
     kw = keyword_rules_df(spark)
-    return {
+    clf = {
         "rule_based": lambda df, k: classify_rule_based(df, classes, p31, kw, top_k=k or TOP_K_DEFAULT),
         "semantic": lambda df, k: classify_semantic(df, top_k=k),
     }
+    if cfg.zeroshot_enabled:
+        from ..operators.zeroshot import classify_zeroshot
+
+        clf["zeroshot"] = lambda df, k: classify_zeroshot(df, top_k=k)
+    return clf
+
+
+def compare_strategies(spark: SparkSession, entities: DataFrame,
+                       strategies: list[str] | None = None) -> DataFrame:
+    """C8 — run every strategy on the same entities (hybrid.py:609-633);
+    one output DataFrame with a ``strategy`` column."""
+    from ..operators.strategies import classify
+
+    clf = default_classifiers(spark)
+    names = strategies or ["cascade", "ensemble", "hybrid_confidence", "tiered"]
+    out = None
+    for name in names:
+        part = classify(entities, clf, strategy=name).withColumn("strategy", F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def classify_entities(spark: SparkSession, entities: DataFrame | None = None) -> DataFrame:

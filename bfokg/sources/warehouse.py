@@ -154,3 +154,21 @@ class LineageLog:
         if not self.rows:
             return None
         return write_table(self.df(), os.path.join(table_dir, self.run_id))
+
+
+def read_recent_lineage(spark: SparkSession, lineage_root: str, n: int = 10) -> DataFrame:
+    """S10 — the reference's recent-logs reader (classification_logger.py:
+    185-213, mtime-sorted YAML files) as a metrics-table query:
+    newest n stage rows across all runs."""
+    runs = [
+        os.path.join(lineage_root, d)
+        for d in os.listdir(lineage_root)
+        if os.path.isdir(os.path.join(lineage_root, d)) and is_committed(os.path.join(lineage_root, d))
+    ]
+    if not runs:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    out = None
+    for r in runs:
+        df = read_table(spark, r)
+        out = df if out is None else out.unionByName(df)
+    return out.orderBy(F.desc("finished_ts")).limit(n)

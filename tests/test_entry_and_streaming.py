@@ -33,7 +33,7 @@ def test_streaming_edges_match_batch(spark):
     from bfokg.streaming.stream_pipeline import run_stream_to_memory
 
     src = generate_transcripts(0.001)
-    batch = spark.read.parquet(os.path.join(src, "transcripts.parquet"))
+    batch = spark.read.parquet(src)
     expected = {
         (r.subj_qid, r.pred, r.obj_qid)
         for r in dedup_triples(

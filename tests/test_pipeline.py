@@ -14,7 +14,7 @@ from bfokg.sources.warehouse import read_manifest
 
 def _transcripts(spark):
     path = generate_transcripts(0.001)
-    return spark.read.parquet(os.path.join(path, "transcripts.parquet"))
+    return spark.read.parquet(path)
 
 
 def test_datagen_deterministic_and_stable_order(spark):

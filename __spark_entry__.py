@@ -944,6 +944,77 @@ QUALIFY rank <= 3
 """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregate demo: per (event_type, weekday) with subtotals;
+    decimal-exact sums, grouping-id exposed."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.withColumn("weekday", F.dayofweek("ts"))
+        .rollup("event_type", "weekday")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("weekday").cast("string"), F.lit("ALL")).alias("weekday"),
+            "n", "sum_value",
+        )
+    )
+
+
+# NB: Spark dayofweek is 1-based (Sunday=1), DuckDB's 0-based (Sunday=0).
+SQL_EVENTS_ROLLUP = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(dayofweek(ts) + 1 AS VARCHAR), 'ALL') AS weekday,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, dayofweek(ts) + 1)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join demo: customers with no large (>300k) order."""
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    big = orders.where(F.col("o_totalprice") > 300000)
+    without = cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_anti")
+    return without.select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation demo: suppliers' nations INTERSECT customers' nations,
+    EXCEPT nations of low-balance customers."""
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    supp = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    a = supp.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    b = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    c = (
+        cust.where(F.col("c_acctbal") < -995)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return a.intersect(b).exceptAll(c).select("nationkey")
+
+
+SQL_SET_OPS = """
+SELECT s_nationkey AS nationkey FROM supplier
+INTERSECT
+SELECT c_nationkey FROM customer
+EXCEPT
+SELECT c_nationkey FROM customer WHERE c_acctbal < -995
+"""
+
+
 def q_wikidata_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule core: P31/P279 superclass-chain canonicalization as an
     iterative self-join closure + nearest-anchor winner per qid."""
@@ -1155,6 +1226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "customer_nation_revenue": q_customer_nation_revenue,
         "events_topn": q_events_topn,
+        "events_rollup": q_events_rollup,
+        "customers_without_orders": q_customers_without_orders,
+        "set_ops": q_set_ops,
     }
 
 
@@ -1178,6 +1252,9 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": SQL_PRICING_SUMMARY,
         "customer_nation_revenue": SQL_CUSTOMER_NATION_REVENUE,
         "events_topn": SQL_EVENTS_TOPN,
+        "events_rollup": SQL_EVENTS_ROLLUP,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "set_ops": SQL_SET_OPS,
     }
     sqls.update(_sql_transcripts_pipeline())
     return sqls

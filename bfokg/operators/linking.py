@@ -69,9 +69,28 @@ def surface_pattern(surfaces: list[str] | None = None) -> str:
     return r"\b(" + surface_alternation(surfaces) + r")\b"
 
 
-def extract_mentions(transcripts: DataFrame, surfaces: list[str] | None = None) -> DataFrame:
-    """One vectorized pass: text → exploded (mention, position) rows."""
+def extract_mentions(
+    transcripts: DataFrame,
+    surfaces: list[str] | None = None,
+    impl: str = "sql",
+) -> DataFrame:
+    """Text → exploded (mention, position) rows.
+
+    ``impl="sql"`` (default): JVM ``regexp_extract_all`` + ``posexplode`` —
+    codegen, no Python, the scale path for dictionary-based detection.
+    ``impl="pandas"``: the Arrow-batched kernel (the plug-in shape for a
+    model-based mention detector)."""
     pattern = surface_pattern(surfaces)
+    if impl == "sql":
+        return transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "ts",
+            F.posexplode(
+                F.regexp_extract_all(F.lower("text"), F.lit(pattern), F.lit(1))
+            ).alias("mention_pos", "mention"),
+        ).select("conv_id", "turn_idx", "role", "ts", "mention", "mention_pos")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rx = re.compile(pattern, re.IGNORECASE)

@@ -53,20 +53,52 @@ def extract_triples(
     transcripts: DataFrame,
     surfaces: list[str] | None = None,
     prefilter: bool = True,
+    impl: str = "sql",
 ) -> DataFrame:
-    """One vectorized mapInPandas pass: turn text → raw mention-level triples.
+    """Turn text → raw mention-level triples.
 
-    ``prefilter`` pushes a cheap JVM-side ``rlike`` on the closed predicate
-    phrases in front of the Python kernel: a row with no relation phrase
-    cannot produce a triple, so the expensive kernel only sees the
-    candidate rows (on realistic transcripts that's a small fraction —
-    semantics identical, Python cost cut proportionally). At 100 TB this
-    is THE filter-pushdown that keeps the Python surface small.
+    Two implementations with identical semantics:
+
+    - ``impl="sql"`` (default): pure JVM — ``regexp_extract_all`` over the
+      three capture groups, ``arrays_zip`` + ``explode``, predicate mapped
+      by a literal map. Whole-stage-codegen eligible, no Arrow transfer,
+      no Python process in the path at all. This is the scale path for a
+      CLOSED extraction grammar.
+    - ``impl="pandas"``: the Arrow-batched mapInPandas kernel — the shape a
+      model-based extractor (NER/RE model) plugs into, kept exercised by
+      tests as the north_rule's vectorized-UDF surface.
+
+    ``prefilter`` pushes a cheap ``rlike`` on the closed predicate phrases
+    ahead of either implementation: a row with no relation phrase cannot
+    produce a triple, so the expensive scan only sees candidate rows.
     """
     pattern = triple_pattern(surfaces)
     if prefilter:
         phrase_rx = "(?i)" + "|".join(re.escape(p) for p in _PHRASE_TO_PRED)
         transcripts = transcripts.where(F.col("text").rlike(phrase_rx))
+    if impl == "sql":
+        lt = F.lower(F.col("text"))
+        zipped = F.arrays_zip(
+            F.regexp_extract_all(lt, F.lit(pattern), F.lit(1)).alias("s"),
+            F.regexp_extract_all(lt, F.lit(pattern), F.lit(2)).alias("p"),
+            F.regexp_extract_all(lt, F.lit(pattern), F.lit(3)).alias("o"),
+        )
+        pred_map = F.create_map(
+            *[F.lit(x) for kv in _PHRASE_TO_PRED.items() for x in kv]
+        )
+        return (
+            transcripts.select(
+                "conv_id", "turn_idx", "ts", F.explode(zipped).alias("trip")
+            )
+            .select(
+                "conv_id",
+                "turn_idx",
+                "ts",
+                F.col("trip.s").alias("subj_mention"),
+                F.element_at(pred_map, F.col("trip.p")).alias("pred"),
+                F.col("trip.o").alias("obj_mention"),
+            )
+        )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rx = re.compile(pattern, re.IGNORECASE)

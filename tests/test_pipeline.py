@@ -51,6 +51,22 @@ def test_mention_extraction_and_linking(spark):
     )
 
 
+def test_extraction_impls_agree(spark):
+    """The JVM regexp_extract_all scale path and the Arrow mapInPandas
+    kernel produce identical multisets (mentions and triples)."""
+    from collections import Counter
+
+    df = _transcripts(spark)
+    m_cols = ["conv_id", "turn_idx", "mention", "mention_pos"]
+    m_sql = Counter(map(tuple, extract_mentions(df, impl="sql").select(m_cols).collect()))
+    m_pd = Counter(map(tuple, extract_mentions(df, impl="pandas").select(m_cols).collect()))
+    assert m_sql == m_pd
+    t_cols = ["conv_id", "turn_idx", "subj_mention", "pred", "obj_mention"]
+    t_sql = Counter(map(tuple, extract_triples(df, impl="sql").select(t_cols).collect()))
+    t_pd = Counter(map(tuple, extract_triples(df, impl="pandas").select(t_cols).collect()))
+    assert t_sql == t_pd
+
+
 def test_salted_join_agrees_with_broadcast(spark):
     df = _transcripts(spark)
     mentions = extract_mentions(df).persist()

@@ -663,10 +663,17 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups by normalized text (hash-aggregate)."""
+    """Exact dedup groups by normalized text (hash-aggregate). The synthetic
+    documents are all unique, so the input is the table unioned with a
+    case-perturbed copy of every 10th doc (id offset +100000) — real
+    duplicate groups that exercise the normalization, not an empty match."""
     from bfokg.operators.dedup import dedup_exact
 
-    out = dedup_exact(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    variant = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text")
+    )
+    out = dedup_exact(docs.unionByName(variant))
     return out.select(
         "keeper_id", "n_docs",
         F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",").alias("doc_ids_csv"),
@@ -674,11 +681,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_EXACT = """
-WITH n AS (
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id % 10 = 0
+), n AS (
   SELECT doc_id,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
                              '\\s+', ' ', 'g')) AS norm
-  FROM documents
+  FROM corpus
 )
 SELECT min(doc_id) AS keeper_id, count(*) AS n_docs,
        string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids_csv
@@ -829,6 +840,29 @@ SELECT query_id, vec_id, cosine,
                           ORDER BY cosine DESC, vec_id ASC) AS rank
 FROM scored
 QUALIFY rank <= 3
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): JVM-side
+    zip_with dot product, cross join pruned by id ordering. Threshold 0.4
+    fits the synthetic table's near-random vectors (max pairwise cosine
+    ~0.51); real corpora use ~0.95 after an LSH bucket stage."""
+    from bfokg.operators.dedup import embedding_near_dups
+
+    embs = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = embedding_near_dups(embs, threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
 """
 
 
@@ -1220,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,                          # rows-only
         "doc_stats": q_doc_stats,
         "embedding_topk": q_embedding_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "embedding_lsh_topk": q_embedding_lsh_topk,    # rows-only
         "multimodal_meta": q_multimodal_meta,
         # relational operator demos
@@ -1248,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "doc_stats": _sql_doc_stats(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "customer_nation_revenue": SQL_CUSTOMER_NATION_REVENUE,

@@ -54,3 +54,90 @@ def run_stream_to_memory(spark: SparkSession, source_dir: str, name: str = "edge
     )
     q.awaitTermination()
     return q
+
+
+# ------------------- custom stateful operator: sessionization -------------
+
+CONV_STATS_SCHEMA = (
+    "conv_id string, n_turns bigint, n_tool_calls bigint, "
+    "first_ts timestamp, last_ts timestamp"
+)
+_CONV_STATE_SCHEMA = "n bigint, ntool bigint, first_us bigint, last_us bigint"
+
+
+def _conv_stats_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: accumulate per-conversation counters
+    across micro-batches; emit the running totals each batch (update-mode
+    semantics — the last emit per conv_id is the final answer). Timestamps
+    are carried in state as int64 microseconds (flat state schema)."""
+    import pandas as pd
+
+    n, ntool, first_us, last_us = (
+        state.get if state.exists else (0, 0, None, None)
+    )
+    for pdf in pdf_iter:
+        n += len(pdf)
+        tool = pdf["tool"]
+        ntool += int((tool.notna() & (tool != "")).sum())
+        ts_us = pdf["ts"].astype("int64") // 1000  # pandas ns → us
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, ntool, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "conv_id": [key[0]],
+            "n_turns": [n],
+            "n_tool_calls": [ntool],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def stream_conversation_stats(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-
+    conversation rollup (turn count, tool-call count, first/last event time)
+    whose state survives across micro-batches. The reference has no
+    streaming at all (SURVEY.md §2.8); this is the transcripts-native
+    stateful shape — at scale the state store shards by conv_id across
+    executors, and conv_id grouping means no cross-partition state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    transcripts = reader.parquet(source_dir)
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        _conv_stats_fn,
+        outputStructType=CONV_STATS_SCHEMA,
+        stateStructType=_CONV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_conversation_stats_to_memory(
+    spark: SparkSession,
+    source_dir: str,
+    name: str = "conv_stats_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Drain the sessionization stream (availableNow) into a memory sink."""
+    q = (
+        stream_conversation_stats(spark, source_dir, max_files_per_trigger)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -48,3 +48,47 @@ def test_streaming_edges_match_batch(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_stateful_sessionization_matches_batch(spark):
+    """applyInPandasWithState conversation rollup, drained one file per
+    micro-batch (state must survive across batches), converges to the
+    batch groupBy answer; last emit per conv_id is the final state."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from bfokg.streaming.stream_pipeline import run_conversation_stats_to_memory
+
+    full = spark.read.parquet(generate_transcripts(0.001))
+    # two files, every conversation split across both → state must carry over
+    tmp = tempfile.mkdtemp(prefix="conv_stats_src_")
+    full.where("turn_idx % 2 = 0").coalesce(1).write.mode("append").parquet(tmp)
+    full.where("turn_idx % 2 = 1").coalesce(1).write.mode("append").parquet(tmp)
+    src = tmp
+    batch = spark.read.parquet(src)
+    expected = {
+        r.conv_id: (r.n_turns, r.n_tool_calls, r.first_ts, r.last_ts)
+        for r in batch.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(
+                (F.col("tool").isNotNull() & (F.col("tool") != "")).cast("long")
+            ).alias("n_tool_calls"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    run_conversation_stats_to_memory(
+        spark, src, name="conv_stats_test", max_files_per_trigger=1
+    )
+    emits = spark.sql("SELECT * FROM conv_stats_test")
+    w = Window.partitionBy("conv_id").orderBy(F.desc("n_turns"))
+    final = emits.withColumn("rk", F.row_number().over(w)).where("rk = 1")
+    got = {
+        r.conv_id: (r.n_turns, r.n_tool_calls, r.first_ts, r.last_ts)
+        for r in final.collect()
+    }
+    assert got == expected
+    # state really crossed micro-batches: some conv got >1 emit
+    assert emits.count() > len(expected)

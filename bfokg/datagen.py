@@ -20,6 +20,7 @@ oracle read the very same bytes the Spark queries read.
 from __future__ import annotations
 
 import os
+import tempfile
 from datetime import datetime, timedelta, timezone
 
 import numpy as np
@@ -29,7 +30,24 @@ import pyarrow.parquet as pq
 from .fixtures import _FIXTURES
 
 SEED = 42
-DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+
+def _default_data_root() -> str:
+    """Repo-local ./data next to the package — unless the package is
+    imported from a --py-files zip (``__file__`` inside an archive), where
+    mkdir would fail; fall back to a stable tmp dir. Overridable via
+    BFOKG_DATA_ROOT either way (on a real cluster: a shared filesystem
+    or object-store path)."""
+    env = os.environ.get("BFOKG_DATA_ROOT")
+    if env:
+        return env
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.isdir(pkg_parent):
+        return os.path.join(pkg_parent, "data")
+    return os.path.join(tempfile.gettempdir(), "bfokg_data")
+
+
+DATA_ROOT = _default_data_root()
 
 # closed relation grammar: (predicate_id, sentence template)
 RELATION_PREDICATES = [

@@ -25,6 +25,11 @@ This is the same iterative-join machinery as the P31/P279 closure
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import (
@@ -34,25 +39,52 @@ from ..config import (
     HIER_SHALLOW_DEPTH,
     HIER_SHALLOW_DROP,
 )
-from ..ontology import ROOT_URI
-from .semantic import classify_semantic
+from ..ontology import OBO, ROOT_URI, _BFO_TREE
+from .semantic import class_index, classify_semantic, default_class_encoder
 
 PATH_STRUCT = "array<struct<class_uri:string,class_label:string,confidence:double,decision:string,depth:int>>"
+
+HIER_SCHEMA = (
+    "entity_id string, class_uri string, class_label string, "
+    "confidence double, source string, rank int, stop_reason string, "
+    f"depth int, path {PATH_STRUCT}"
+)
 
 
 def classify_hierarchical(
     entities: DataFrame,
-    children_dim: DataFrame,
+    children_dim: DataFrame | None = None,
     encoder=None,
     min_confidence: float = HIER_MIN_CONFIDENCE,
     drop_threshold: float = HIER_CONFIDENCE_DROP,
     max_depth: int = HIER_MAX_DEPTH,
     source: str = "hierarchical_semantic",
+    impl: str = "kernel",
 ) -> DataFrame:
     """Returns one row per entity:
     (entity_id, class_uri, class_label, confidence, source, rank=1,
     stop_reason, depth, path).
+
+    ``impl="kernel"`` (default): the whole walk — encode, score all classes,
+    descend the 35-node broadcast tree with the 4 stop rules — happens
+    inside ONE mapInPandas pass. Zero shuffles, embarrassingly parallel:
+    the right physical plan at any scale because the tree is a small static
+    dimension, so per-row descent needs no cross-row coordination. The
+    numerics are identical to the iterative path (same float64 score
+    matrix, same argmax tiebreak).
+
+    ``impl="iterative"``: bounded driver loop of per-level joins + windows —
+    kept as the machinery demo for GENUINELY unbounded hierarchies (the
+    P31/P279 closure uses this shape, ontology.build_closure) and as a
+    cross-check oracle for the kernel (test_hierarchy_and_eval pins both
+    to identical output).
     """
+    if impl == "kernel":
+        return _hierarchical_kernel(
+            entities, encoder, min_confidence, drop_threshold, max_depth, source
+        )
+    if children_dim is None:
+        raise ValueError("iterative impl needs children_dim")
     scores = (
         classify_semantic(entities, encoder=encoder, top_k=None)
         .select("entity_id", "class_uri", "class_label", "confidence")
@@ -164,3 +196,114 @@ def classify_hierarchical(
         "depth",
         "path",
     )
+
+
+def _tree_children_by_uri() -> dict[str, list[str]]:
+    """parent_uri → child uris sorted ASC (the argmax tiebreak order)."""
+    uri_of_label = {label: OBO + oid for oid, label, _, _, _ in _BFO_TREE}
+    children: dict[str, list[str]] = {}
+    for oid, _label, parent, _d, _e in _BFO_TREE:
+        if parent is not None:
+            children.setdefault(uri_of_label[parent], []).append(OBO + oid)
+    return {k: sorted(v) for k, v in children.items()}
+
+
+def _hierarchical_kernel(
+    entities: DataFrame,
+    encoder,
+    min_confidence: float,
+    drop_threshold: float,
+    max_depth: int,
+    source: str,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-pass vectorized walk (see classify_hierarchical docstring).
+
+    Per Arrow batch: encode all texts once (batched — the reference never
+    batched, ARCHITECTURE.md:284-286), build the dense [n, n_classes]
+    confidence matrix, then descend level-synchronously: rows standing at
+    the same node share one numpy slice/argmax. Children column lists are
+    uri-ASC so argmax's first-max rule IS the (conf DESC, uri ASC) tiebreak."""
+    enc = encoder or default_class_encoder()
+    uris, labels, matrix = class_index(enc)
+    col_of = {u: i for i, u in enumerate(uris)}
+    label_of = dict(zip(uris, labels))
+    children_cols = {
+        col_of[p]: np.array([col_of[c] for c in cs], dtype=np.int64)
+        for p, cs in _tree_children_by_uri().items()
+    }
+    root_col = col_of[ROOT_URI]
+    min_conf = float(min_confidence)
+    drop = float(drop_threshold)
+    shallow_depth = int(HIER_SHALLOW_DEPTH)
+    shallow_drop = float(HIER_SHALLOW_DROP)
+    src = source
+
+    def walk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n = len(pdf)
+            vecs = enc.encode(pdf[text_col].fillna("").tolist())
+            conf = ((vecs @ matrix.T) + 1.0) / 2.0  # P7, float64
+            cur = np.full(n, root_col, dtype=np.int64)
+            cur_conf = np.ones(n, dtype=np.float64)
+            depth = np.zeros(n, dtype=np.int64)
+            stop = np.full(n, None, dtype=object)
+            paths: list[list[dict]] = [
+                [{"class_uri": ROOT_URI, "class_label": "Entity",
+                  "confidence": 1.0, "decision": "START", "depth": 0}]
+                for _ in range(n)
+            ]
+            for _level in range(max_depth):
+                alive = np.where(stop == None)[0]  # noqa: E711
+                if alive.size == 0:
+                    break
+                for node in np.unique(cur[alive]):
+                    rows = alive[cur[alive] == node]
+                    ch = children_cols.get(int(node))
+                    if ch is None or ch.size == 0:
+                        stop[rows] = "LEAF_NODE"
+                        continue
+                    sub = conf[np.ix_(rows, ch)]
+                    best_pos = sub.argmax(axis=1)  # first max = uri ASC tie
+                    best_col = ch[best_pos]
+                    best_conf = sub[np.arange(rows.size), best_pos]
+                    adaptive = np.where(
+                        depth[rows] <= shallow_depth, shallow_drop, drop
+                    )
+                    low = best_conf < min_conf
+                    dropped = (cur_conf[rows] - best_conf > adaptive) & ~low
+                    descend = ~low & ~dropped
+                    stop[rows[low]] = "LOW_CONFIDENCE"
+                    stop[rows[dropped]] = "CONFIDENCE_DROP"
+                    d_rows = rows[descend]
+                    cur[d_rows] = best_col[descend]
+                    cur_conf[d_rows] = best_conf[descend]
+                    depth[d_rows] += 1
+                    for r, c, bc in zip(
+                        d_rows, best_col[descend], best_conf[descend]
+                    ):
+                        u = uris[c]
+                        paths[r].append(
+                            {"class_uri": u, "class_label": label_of[u],
+                             "confidence": float(bc), "decision": "DESCEND",
+                             "depth": int(depth[r])}
+                        )
+            stop[stop == None] = "MAX_DEPTH"  # noqa: E711
+            yield pd.DataFrame(
+                {
+                    "entity_id": pdf[id_col].to_numpy(),
+                    "class_uri": uris[cur],
+                    "class_label": labels[cur],
+                    "confidence": cur_conf,
+                    "source": src,
+                    "rank": np.ones(n, dtype=np.int32),
+                    "stop_reason": stop,
+                    "depth": depth.astype(np.int32),
+                    "path": paths,
+                }
+            )
+
+    return entities.select(id_col, text_col).mapInPandas(walk_batches, HIER_SCHEMA)

@@ -81,3 +81,27 @@ def test_engine_hit3_on_reference_fixtures(spark):
     acc = accuracy(matches, golden, top_k=3).first()
     assert acc.total == 29
     assert acc.accuracy >= 0.90, f"hit@3 degraded: {acc.accuracy}"
+
+
+def test_hierarchical_kernel_matches_iterative(spark):
+    """The zero-shuffle mapInPandas walk and the iterative join/window loop
+    produce IDENTICAL rows (same stop reasons, same float64 confidences,
+    same full paths) on all fixture entities."""
+    ents = with_entity_text(entities_df(spark, include_micro=True))
+    children = bfo_children_df(spark)
+
+    def canon(rows):
+        return sorted(
+            (
+                r.entity_id, r.class_uri, r.class_label, r.confidence,
+                r.stop_reason, r.depth,
+                tuple((p.class_uri, p.confidence, p.decision, p.depth) for p in r.path),
+            )
+            for r in rows
+        )
+
+    kern = canon(classify_hierarchical(ents, impl="kernel").collect())
+    iter_ = canon(
+        classify_hierarchical(ents, children, impl="iterative").collect()
+    )
+    assert kern == iter_

@@ -113,6 +113,7 @@ def run_pipeline(
         edges = read_table(spark, edges_dir)
         log.record("edges", raw.count(), em["rows"], t0,
                    extra={"dedup_key": "(subj_qid,pred,obj_qid)"})
+        log.record_partitions("edges", edges, "part", t0)
 
     # -- stage 3: nodes (classification join) -------------------------------
     if resume and is_committed(nodes_dir):
@@ -125,6 +126,7 @@ def run_pipeline(
         nm = write_table(nodes, nodes_dir, partition_by=["part"])
         nodes = read_table(spark, nodes_dir)
         log.record("nodes", edges.count(), nm["rows"], t0)
+        log.record_partitions("nodes", nodes, "part", t0)
 
     lineage_manifest = log.write(os.path.join(out_dir, "lineage"))
     return {

@@ -130,6 +130,25 @@ class LineageLog:
             )
         )
 
+    def record_partitions(
+        self, stage: str, df: DataFrame, part_col: str, started: float,
+        extra: dict | None = None,
+    ):
+        """One lineage row PER PARTITION VALUE of a written table (the
+        north_rule's per-partition metrics): a single collect of the
+        partition-count aggregate — tiny (one row per partition, not per
+        record) at any scale."""
+        counts = df.groupBy(part_col).count().collect()
+        for r in counts:
+            self.record(
+                stage,
+                rows_in=-1,
+                rows_out=r["count"],
+                started=started,
+                part=str(r[part_col]),
+                extra=extra,
+            )
+
     def timed(self, stage: str):
         """Context manager: ``with log.timed('link') as t: t.done(in, out)``."""
         log = self

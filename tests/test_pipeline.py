@@ -112,8 +112,19 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     assert len(edges1) > 0
     nodes = res1["nodes"]
     assert nodes.where(F.col("bfo_label").isNotNull()).count() > 0
-    # lineage rows recorded per stage
+    # lineage rows recorded per stage AND per partition (north_rule)
     assert res1["lineage"] is not None and res1["lineage"]["rows"] >= 3
+    lin = spark.read.parquet(res1["lineage"]["data_dir"])
+    per_part = lin.where(F.col("part") != "*")
+    n_edge_parts = res1["edges"].select("part").distinct().count()
+    assert per_part.where(F.col("stage") == "edges").count() == n_edge_parts
+    # per-partition counts sum to the stage total
+    tot = (
+        per_part.where(F.col("stage") == "edges")
+        .agg(F.sum("rows_out").alias("s"))
+        .first()["s"]
+    )
+    assert tot == len(edges1)
 
     # resume: all stages skipped, identical edge set (idempotent re-run)
     res2 = run_pipeline(spark, df, out, resume=True)

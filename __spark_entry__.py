@@ -843,6 +843,30 @@ QUALIFY rank <= 3
 """
 
 
+def q_doc_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SF-proportional classification load: semantic top-1 BFO class for
+    EVERY document (vs the 31-entity fixture queries, which are
+    SF-independent). One mapInPandas encode+score pass, no shuffle."""
+    from bfokg.operators.semantic import classify_semantic
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("id"), "text")
+    return classify_semantic(docs, top_k=1).select(
+        F.col("entity_id").alias("doc_id"), "class_uri", "class_label", "confidence"
+    )
+
+
+def q_doc_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SF-proportional hierarchical walk: the zero-shuffle kernel descends
+    the BFO tree for every document."""
+    from bfokg.operators.hierarchy import classify_hierarchical
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("id"), "text")
+    return classify_hierarchical(docs).select(
+        F.col("entity_id").alias("doc_id"), "class_uri", "class_label",
+        "confidence", "stop_reason", "depth",
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family): JVM-side
     zip_with dot product, cross join pruned by id ordering. Threshold 0.4
@@ -1253,6 +1277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,                  # rows-only
         "simhash": q_simhash,                          # rows-only
         "doc_stats": q_doc_stats,
+        "doc_semantic": q_doc_semantic,                # rows-only (kernel)
+        "doc_hierarchy": q_doc_hierarchy,              # rows-only (kernel)
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_lsh_topk": q_embedding_lsh_topk,    # rows-only

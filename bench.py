@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_lsh",
     "doc_stats",
+    "doc_semantic",
+    "doc_hierarchy",
     "embedding_topk",
     "pricing_summary",
     "customer_nation_revenue",

@@ -1073,6 +1073,33 @@ SELECT c_nationkey FROM customer WHERE c_acctbal < -995
 """
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (the batch shape of the
+    streaming windowed agg): per 6-hour window per event_type, count and
+    decimal-exact value sum."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT CAST(time_bucket(INTERVAL 6 HOUR, ts) AS VARCHAR) AS win_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_wikidata_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule core: P31/P279 superclass-chain canonicalization as an
     iterative self-join closure + nearest-anchor winner per qid."""
@@ -1287,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "customer_nation_revenue": q_customer_nation_revenue,
         "events_topn": q_events_topn,
+        "events_windowed": q_events_windowed,
         "events_rollup": q_events_rollup,
         "customers_without_orders": q_customers_without_orders,
         "set_ops": q_set_ops,
@@ -1314,6 +1342,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": SQL_PRICING_SUMMARY,
         "customer_nation_revenue": SQL_CUSTOMER_NATION_REVENUE,
         "events_topn": SQL_EVENTS_TOPN,
+        "events_windowed": SQL_EVENTS_WINDOWED,
         "events_rollup": SQL_EVENTS_ROLLUP,
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "set_ops": SQL_SET_OPS,

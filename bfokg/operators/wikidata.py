@@ -161,3 +161,45 @@ def canonicalize_qids(
             F.lit(CLAIM_CANON_CONFIDENCE).alias("confidence"),
         )
     )
+
+
+def synthetic_p279_graph(
+    spark: SparkSession,
+    n_nodes: int = 1_000_000,
+    fanout: int = 8,
+    hub_classes: int = 100,
+    hub_pct: int = 20,
+) -> DataFrame:
+    """Deterministic Wikidata-shaped P279 benchmark graph, generated
+    entirely Spark-side (spark.range + hash — no driver loop, no RNG).
+
+    Shape mirrors the real P279 subgraph the north_rule targets:
+    - a ``fanout``-ary tree over Q1..Qn (parent = Q(i // fanout)) giving
+      depth ≈ log_fanout(n) ≈ the 4-7 levels of real taxonomies;
+    - ``hub_pct``% of nodes carry a second P279 edge into one of
+      ``hub_classes`` near-root classes — the hub fan-in skew (everything
+      is a subclass of 'entity'/'artificial entity'…) that AQE skew-join
+      handling exists for.
+
+    DAG by construction: both parent indices are strictly smaller than the
+    child index (extra edges only on id >= hub_classes).
+    """
+    nodes = spark.range(1, n_nodes)
+    tree = nodes.select(
+        F.concat(F.lit("Q"), F.col("id")).alias("child"),
+        F.concat(F.lit("Q"), (F.col("id") / fanout).cast("long")).alias("parent"),
+    )
+    extra = nodes.where(
+        (F.col("id") >= hub_classes)
+        & (F.pmod(F.abs(F.xxhash64("id")), F.lit(100)) < hub_pct)
+    ).select(
+        F.concat(F.lit("Q"), F.col("id")).alias("child"),
+        F.concat(
+            F.lit("Q"), F.pmod(F.abs(F.xxhash64("id", F.lit(1))), F.lit(hub_classes))
+        ).alias("parent"),
+    )
+    return (
+        tree.unionByName(extra)
+        .where(F.col("child") != F.col("parent"))
+        .dropDuplicates(["child", "parent"])
+    )

@@ -45,3 +45,86 @@ def test_nearest_anchor_wins(spark):
     assert canon["Q_SYNTH_40"].distance == 2
     assert canon["Q_SYNTH_25"].distance == 0   # P31 directly at the anchor
     assert canon["Q_SYNTH_25"].confidence == 0.95
+
+
+def test_synthetic_p279_closure_exact(spark):
+    """On the pure-tree variant (hub_pct=0) the iterative self-join closure
+    must equal the analytically known ancestor chains {i//8, i//64, ...};
+    the skewed variant only ADDS pairs and never exceeds the depth cap."""
+    from bfokg.ontology import build_closure
+    from bfokg.operators.wikidata import synthetic_p279_graph
+
+    n, fanout = 3000, 8
+    tree = synthetic_p279_graph(spark, n_nodes=n, fanout=fanout, hub_pct=0)
+    got = {
+        (r.descendant_uri, r.ancestor_uri, r.distance)
+        for r in build_closure(tree, "child", "parent").collect()
+    }
+    expected = set()
+    for i in range(1, n):
+        a, d = i, 0
+        while a > 0:
+            a //= fanout
+            d += 1
+            expected.add((f"Q{i}", f"Q{a}", d))
+            if a == 0:
+                break
+    assert got == expected
+
+    skewed = synthetic_p279_graph(spark, n_nodes=n, fanout=fanout, hub_pct=20)
+    sk = build_closure(skewed, "child", "parent")
+    assert sk.count() >= len(expected)
+    assert sk.agg({"distance": "max"}).first()[0] <= 12
+    # skew is real: some hub ancestor has large fan-in
+    top = (
+        sk.groupBy("ancestor_uri").count().orderBy("count", ascending=False).first()
+    )
+    assert top["count"] >= n - 1  # Q0 is everyone's ancestor
+
+
+def test_closure_matches_python_bfs_on_random_dags(spark):
+    """build_closure == a driver-side BFS reference on seeded random DAGs
+    (edges i→j only when j < i, so acyclic by construction). Checks pair
+    set AND min-distance."""
+    import random
+
+    from bfokg.ontology import build_closure
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 40
+        edges = sorted(
+            {
+                (f"N{i}", f"N{rng.randrange(i)}")
+                for i in range(1, n)
+                for _ in range(rng.randrange(3))
+            }
+        )
+        if not edges:
+            continue
+        parents: dict[str, list[str]] = {}
+        for c, p in edges:
+            parents.setdefault(c, []).append(p)
+        expected = {}
+        for start in {c for c, _ in edges}:
+            frontier, dist = [start], 0
+            seen = {start}
+            while frontier:
+                dist += 1
+                nxt = []
+                for u in frontier:
+                    for p in parents.get(u, []):
+                        if (start, p) not in expected:
+                            expected[(start, p)] = dist
+                        if p not in seen:
+                            seen.add(p)
+                            nxt.append(p)
+                frontier = nxt
+        got = {
+            (r.descendant_uri, r.ancestor_uri): r.distance
+            for r in build_closure(
+                spark.createDataFrame(edges, "child string, parent string"),
+                "child", "parent",
+            ).collect()
+        }
+        assert got == expected, f"seed={seed}"

@@ -133,3 +133,24 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     assert edges1 == edges2
     m = read_manifest(os.path.join(out, "edges"))
     assert m["partition_by"] == ["part"] and m["rows"] == len(edges1)
+
+
+def test_resume_after_partial_failure(spark, tmp_path):
+    """Crash-after-stage-1 simulation: extract's snapshot is committed but
+    edges/nodes are not (their manifests deleted = crash before the commit
+    rename). Resume must skip extract, recompute the rest, and converge to
+    the same edge set."""
+    import shutil
+
+    df = _transcripts(spark)
+    out = str(tmp_path / "kg")
+    res1 = run_pipeline(spark, df, out)
+    edges1 = {tuple(r) for r in res1["edges"].select("subj_qid", "pred", "obj_qid").collect()}
+
+    for stage in ("edges", "nodes"):
+        shutil.rmtree(os.path.join(out, stage))
+
+    res2 = run_pipeline(spark, df, out, resume=True)
+    assert res2["skipped"] == ["extract"]
+    edges2 = {tuple(r) for r in res2["edges"].select("subj_qid", "pred", "obj_qid").collect()}
+    assert edges1 == edges2

@@ -24,6 +24,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_QUERIES = [
     "mentions",
     "edges",
+    "wikidata_canon",
     "cascade_assignments",
     "hierarchical",
     "dedup_exact",

@@ -867,6 +867,27 @@ def q_doc_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SF-proportional cascade (VERDICT r1 item 3): the staged anti-join
+    cascade — rule_based keyword stage, then semantic on the residue —
+    over EVERY document, proving the per-stage overhead is fixed cost that
+    amortizes at corpus scale (the fixture-sized cascade query runs the
+    same dataflow on 31 rows). rank-1 row per doc."""
+    from bfokg.operators.strategies import cascade
+    from bfokg.plans.pipeline import default_classifiers
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("id"),
+        "text",
+        F.lit(None).cast("map<string,array<string>>").alias("claims"),
+    )
+    matches, _trace = cascade(docs, default_classifiers(spark), top_k=3)
+    return matches.where(F.col("rank") == 1).select(
+        F.col("entity_id").alias("doc_id"), "class_uri", "class_label",
+        F.round("confidence", 6).alias("confidence"), "source",
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family): JVM-side
     zip_with dot product, cross join pruned by id ordering. Threshold 0.4
@@ -1202,6 +1223,150 @@ def q_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_crc32_ctes(strs_cte: str) -> str:
+    """Recursive-CTE zlib crc32 over ASCII strings (DuckDB has no crc32).
+
+    Standard reflected CRC-32 (poly 0xEDB88320 = 3988292384): first build
+    the 256-entry byte table (8 shift/xor steps per entry), then walk each
+    string byte-by-byte. Expects a prior CTE ``{strs_cte}(s)`` of DISTINCT
+    ASCII strings; emits ``crc32_out(s, crc)``. Verified == zlib.crc32 in
+    tests/test_entry_and_streaming.py."""
+    return f"""
+crc_bits(i, step, crc) AS (
+  SELECT i, 0, i::BIGINT FROM range(256) t(i)
+  UNION ALL
+  SELECT i, step + 1,
+         CASE WHEN crc & 1 = 1 THEN xor(crc >> 1, 3988292384) ELSE crc >> 1 END
+  FROM crc_bits WHERE step < 8
+),
+crc_table AS (SELECT i, crc FROM crc_bits WHERE step = 8),
+crc_walk(s, pos, crc) AS (
+  SELECT s, 0, 4294967295::BIGINT FROM {strs_cte}
+  UNION ALL
+  SELECT w.s, w.pos + 1, xor(w.crc >> 8, t.crc)
+  FROM crc_walk w JOIN crc_table t
+    ON t.i = xor(w.crc & 255, ascii(w.s[w.pos + 1]))
+  WHERE w.pos < len(w.s)
+),
+crc32_out AS (
+  SELECT s, xor(crc, 4294967295) AS crc FROM crc_walk WHERE pos = len(s)
+)"""
+
+
+def _sql_minhash_lsh() -> str:
+    """DuckDB oracle for q_minhash_lsh — the FULL pipeline restated in SQL:
+    normalize → 3-gram shingles → crc32 → 64 universal min-hashes (the
+    (a, b) permutation constants are inlined from the same seeded
+    generator the Spark kernel uses) → 16-band buckets → candidate pairs →
+    est_jaccard = matching-position fraction ≥ 0.2."""
+    from bfokg.operators.dedup import _MERSENNE, _perm_params
+
+    a, b = _perm_params(64)
+    params_values = ", ".join(
+        f"({k}, {int(a[k])}, {int(b[k])})" for k in range(64)
+    )
+    return f"""
+WITH RECURSIVE
+docs_norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+toks AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM docs_norm),
+sh_all AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, norm AS sh FROM toks WHERE len(t) < 3
+),
+shingles AS (SELECT DISTINCT doc_id, sh FROM sh_all),
+strs AS (SELECT DISTINCT sh AS s FROM shingles),
+{_sql_crc32_ctes('strs')},
+hv AS (
+  SELECT sh.doc_id, c.crc % {_MERSENNE} AS h
+  FROM shingles sh JOIN crc32_out c ON c.s = sh.sh
+),
+params(k, a, b) AS (VALUES {params_values}),
+minh AS (
+  SELECT hv.doc_id, p.k, min((p.a * hv.h + p.b) % {_MERSENNE}) AS mh
+  FROM hv CROSS JOIN params p GROUP BY hv.doc_id, p.k
+),
+sig AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM minh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, i AS band, sig[i*4+1 : i*4+4] AS band_sig
+  FROM sig, unnest(range(0, 16)) AS u(i)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS ej
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.2
+"""
+
+
+def _sql_simhash() -> str:
+    """DuckDB oracle for q_simhash. The Spark side buckets by 16-bit blocks
+    then verifies by exact popcount; by pigeonhole (4 blocks, ≤3 differing
+    bits) that EQUALS the exact all-pairs Hamming ≤ 3 answer, which is what
+    this oracle computes directly: per-token crc32 pair → 64 signed bit
+    sums (duplicate tokens weighted by count) → fingerprint → all-pairs
+    popcount of xor."""
+    return f"""
+WITH RECURSIVE
+tok AS (
+  SELECT doc_id, t AS token, count(*) AS cnt
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(t)
+  GROUP BY doc_id, t
+),
+strs AS (
+  SELECT DISTINCT token AS s FROM tok
+  UNION
+  SELECT DISTINCT token || '#' AS s FROM tok
+),
+{_sql_crc32_ctes('strs')},
+tok_h AS (
+  SELECT t.doc_id, t.cnt, lo.crc AS lo, hi.crc AS hi
+  FROM tok t
+  JOIN crc32_out lo ON lo.s = t.token
+  JOIN crc32_out hi ON hi.s = t.token || '#'
+),
+bits AS (
+  SELECT doc_id, b.b,
+         sum(cnt * (2 * (CASE WHEN b.b < 32 THEN (lo >> b.b) & 1
+                              ELSE (hi >> (b.b - 32)) & 1 END) - 1)) AS acc
+  FROM tok_h, unnest(range(0, 64)) AS b(b)
+  GROUP BY doc_id, b.b
+),
+fp_raw AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS u
+  FROM bits GROUP BY doc_id
+),
+fp AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN f.u IS NULL THEN 0::HUGEINT
+                   WHEN f.u >= 9223372036854775808::HUGEINT
+                   THEN f.u - 18446744073709551616::HUGEINT
+                   ELSE f.u END AS BIGINT) AS h
+  FROM documents d LEFT JOIN fp_raw f ON f.doc_id = d.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (banded buckets, est. jaccard)."""
     from bfokg.operators.dedup import minhash_lsh_pairs
@@ -1232,6 +1397,49 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("query_id") != F.col("vec_id")).select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
     )
+
+
+def q_embedding_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup dedup on the LSH-bucketed 100 TB path
+    (dedup.embedding_near_dups(bucketed=True) composing
+    similarity_search.lsh_bucket_candidates). The synthetic embeddings are
+    near-random (max pairwise cosine ~0.51), so deterministic near-dups are
+    derived first: vectors with vec_id < 50 get a perturbed copy (alternate
+    dims ×1.02, new id +10000). The DuckDB oracle computes the EXACT
+    all-pairs answer — green only while the bucket stage's recall is 1.0 on
+    this table (also pinned in tests/test_corpus_ops.py)."""
+    from bfokg.operators.dedup import embedding_near_dups
+
+    embs = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = embs.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.zip_with(
+            "embedding",
+            F.sequence(F.lit(0), F.size("embedding") - 1),
+            lambda v, i: F.when(i % 2 == 0, v * 1.02).otherwise(v),
+        ).alias("embedding"),
+    )
+    both = embs.unionByName(pert)
+    pairs = embedding_near_dups(both, threshold=0.95, bucketed=True)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+SQL_EMBEDDING_LSH_DUPS = """
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+pert AS (
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(range(1, len(emb) + 1),
+                        i -> CASE WHEN (i - 1) % 2 = 0 THEN emb[i] * 1.02
+                                  ELSE emb[i] END) AS emb
+  FROM e0 WHERE vec_id < 50),
+e AS (SELECT * FROM e0 UNION ALL SELECT * FROM pert)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
+"""
 
 
 def q_zeroshot_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1306,9 +1514,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "doc_semantic": q_doc_semantic,                # rows-only (kernel)
         "doc_hierarchy": q_doc_hierarchy,              # rows-only (kernel)
+        "doc_cascade": q_doc_cascade,                  # rows-only (SF-prop cascade)
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_lsh_topk": q_embedding_lsh_topk,    # rows-only
+        "embedding_lsh_dups": q_embedding_lsh_dups,    # bucketed dedup path
         "multimodal_meta": q_multimodal_meta,
         # relational operator demos
         "pricing_summary": q_pricing_summary,
@@ -1335,9 +1545,12 @@ def oracle_sql() -> dict[str, str]:
         "wikidata_canon": _sql_wikidata_canon(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "minhash_lsh": _sql_minhash_lsh(),
+        "simhash": _sql_simhash(),
         "doc_stats": _sql_doc_stats(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "embedding_lsh_dups": SQL_EMBEDDING_LSH_DUPS,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "customer_nation_revenue": SQL_CUSTOMER_NATION_REVENUE,

@@ -32,7 +32,9 @@ BENCH_QUERIES = [
     "doc_stats",
     "doc_semantic",
     "doc_hierarchy",
+    "doc_cascade",
     "embedding_topk",
+    "embedding_lsh_dups",
     "pricing_summary",
     "customer_nation_revenue",
     "events_topn",

@@ -30,11 +30,24 @@ class Classifier:
     """Driver-side facade: builds the dimension tables and classifier
     callables once, then classifies arbitrary entity DataFrames."""
 
-    def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: EngineConfig | None = None,
+        preset: str | None = None,
+    ):
+        """``preset`` selects one of the reference's 5 model presets
+        (configs/models.yaml:133-178) via ``EngineConfig.from_preset``;
+        an explicit ``config`` wins over ``preset``."""
         from .plans.pipeline import default_classifiers
 
         self.spark = spark
-        self.config = config or EngineConfig()
+        if config is not None:
+            self.config = config
+        elif preset is not None:
+            self.config = EngineConfig.from_preset(preset)
+        else:
+            self.config = EngineConfig()
         self.classes = bfo_classes_df(spark)
         self.closure = bfo_closure_df(spark)
         self.children = bfo_children_df(spark)

@@ -37,8 +37,12 @@ RULE_CONF_CAP = 0.95
 # hierarchical — configs/classification.yaml:59-62, hybrid.py:150-315
 HIER_MIN_CONFIDENCE = 0.50
 HIER_CONFIDENCE_DROP = 0.15
-HIER_SHALLOW_DROP = 0.50            # depth <= 1 → 0.50 (hybrid.py:257-260)
-HIER_SHALLOW_DEPTH = 1
+HIER_SHALLOW_DROP = 0.50            # current_depth <= 1 → 0.50 (hybrid.py:257-260)
+# The reference increments current_depth to 1 BEFORE the first decision
+# (hybrid.py:197) and once more per descent (hybrid.py:291), so ONLY the
+# root-level decision sees current_depth <= 1. Our walk state counts node
+# depth from 0, so the shallow threshold applies at depth <= 0 exactly.
+HIER_SHALLOW_DEPTH = 0
 HIER_MAX_DEPTH = 7                  # tree depth 4-7 levels (README.md:389)
 
 # globals — configs/classification.yaml:64-67
@@ -46,6 +50,61 @@ TOP_K_DEFAULT = 3
 INFER_PARENT_CLASSES = True
 PARENT_CONF_DECAY = 0.9             # flat ×0.9, NOT per-level (hybrid.py:595; code wins over docs)
 MIN_CONFIDENCE_THRESHOLD = 0.30
+
+
+# Model presets — vendored from reference configs/models.yaml:133-178 and
+# the registry's preset loader (model_registry.py:149-166). Each preset
+# selects the semantic encoder model (and its embedding dim, from the
+# models.yaml model catalog), whether the zero-shot NLI stage exists at all
+# (zeroshot: null disables it), the default combination strategy, and the
+# reference's published latency expectation (informational).
+MODEL_PRESETS = {
+    "production": {
+        "description": "Optimized for low latency in production",
+        "semantic_model": "all-MiniLM-L6-v2",
+        "encoder_dim": 384,
+        "zeroshot_model": "typeform/distilbert-base-uncased-mnli",
+        "finetuned_base": "distilbert-base-uncased",
+        "strategy": "cascade",
+        "expected_latency_ms": "50-180",
+    },
+    "research": {
+        "description": "Highest accuracy, slower inference",
+        "semantic_model": "all-mpnet-base-v2",
+        "encoder_dim": 768,
+        "zeroshot_model": "MoritzLaurer/DeBERTa-v3-base-mnli-fever-anli",
+        "finetuned_base": "microsoft/deberta-v3-small",
+        "strategy": "ensemble",
+        "expected_latency_ms": "550",
+    },
+    "resource_constrained": {
+        "description": "Minimal memory and compute requirements",
+        "semantic_model": "all-MiniLM-L6-v2",
+        "encoder_dim": 384,
+        "zeroshot_model": None,  # skip zero-shot to save resources
+        "finetuned_base": "distilbert-base-uncased",
+        "strategy": "hybrid_confidence",
+        "expected_latency_ms": "80",
+    },
+    "multilingual": {
+        "description": "Support for 50+ languages",
+        "semantic_model": "paraphrase-multilingual-MiniLM-L12-v2",
+        "encoder_dim": 384,
+        "zeroshot_model": "MoritzLaurer/mDeBERTa-v3-base-xnli-multilingual-nli-2mil7",
+        "finetuned_base": "bert-base-multilingual-uncased",
+        "strategy": "cascade",
+        "expected_latency_ms": "200",
+    },
+    "ultra_lightweight": {
+        "description": "Minimal models for extreme resource constraints",
+        "semantic_model": "all-MiniLM-L6-v2",
+        "encoder_dim": 384,
+        "zeroshot_model": None,  # skip zero-shot
+        "finetuned_base": "Prajjwal1/bert-tiny",
+        "strategy": "hybrid_confidence",
+        "expected_latency_ms": "30",
+    },
+}
 
 
 @dataclass
@@ -63,3 +122,34 @@ class EngineConfig:
     hier_confidence_drop: float = HIER_CONFIDENCE_DROP
     encoder_dim: int = 384
     zeroshot_enabled: bool = False  # resource_constrained preset: no NLI (models.yaml:153-160)
+    preset: str = "resource_constrained"  # sandbox default: no model downloads
+    semantic_model: str = "all-MiniLM-L6-v2"
+    zeroshot_model: str | None = None
+    finetuned_base: str = "distilbert-base-uncased"
+    strategy: str = "hybrid_confidence"
+    expected_latency_ms: str = "80"
+
+    @classmethod
+    def from_preset(cls, name: str, **overrides) -> "EngineConfig":
+        """Build a config from one of the reference's 5 model presets
+        (configs/models.yaml:133-178). Unknown preset → ValueError with the
+        valid names, mirroring the registry's KeyError surface
+        (model_registry.py:149-166). CLI-style keyword overrides win over
+        the preset (scripts/classify_entity.py:112-123)."""
+        if name not in MODEL_PRESETS:
+            raise ValueError(
+                f"unknown preset: {name!r} (valid: {sorted(MODEL_PRESETS)})"
+            )
+        p = MODEL_PRESETS[name]
+        kwargs = {
+            "preset": name,
+            "semantic_model": p["semantic_model"],
+            "encoder_dim": p["encoder_dim"],
+            "zeroshot_model": p["zeroshot_model"],
+            "zeroshot_enabled": p["zeroshot_model"] is not None,
+            "finetuned_base": p["finetuned_base"],
+            "strategy": p["strategy"],
+            "expected_latency_ms": p["expected_latency_ms"],
+        }
+        kwargs.update(overrides)
+        return cls(**kwargs)

@@ -18,8 +18,11 @@ def hits(predictions: DataFrame, golden: DataFrame, top_k: int = TOP_K_DEFAULT,
          include_parents: bool = False) -> DataFrame:
     """J5 — per-entity hit flag. predictions: matches rows; golden:
     (entity_id, gt_bfo_uri[, gt_bfo_label])."""
+    # Inferred-parent rows carry their OWN rank sequence, so they must be
+    # excluded from the rank-based branch — the reference only credits
+    # parent_matches when include_parents is set (evaluator.py:68-71).
     preds = predictions.where(
-        (F.col("rank") <= top_k)
+        ((F.col("rank") <= top_k) & (F.col("source") != "inferred"))
         | (F.lit(include_parents) & (F.col("source") == "inferred"))
     )
     hit_rows = (
@@ -60,13 +63,37 @@ def per_class_accuracy(predictions: DataFrame, golden: DataFrame,
 
 def per_source_accuracy(predictions: DataFrame, golden: DataFrame,
                         top_k: int = TOP_K_DEFAULT) -> DataFrame:
-    """A5 — accuracy per classifier source (evaluator.py:131-171)."""
-    out = None
-    for src in [r.source for r in predictions.select("source").distinct().collect()]:
-        acc = accuracy(predictions.where(F.col("source") == src), golden, top_k)
-        acc = acc.withColumn("source", F.lit(src))
-        out = acc if out is None else out.unionByName(acc)
-    return out
+    """A5 — accuracy per classifier source (evaluator.py:131-171).
+
+    One pass: every (source, golden entity) cell gets a hit flag, then one
+    groupBy(source) aggregate — no per-source driver loop / rescan."""
+    sources = predictions.select("source").distinct()
+    # grouping BY source already isolates each classifier's rows, so the
+    # rank filter alone is correct here (an 'inferred' source row, if
+    # present, is evaluated on its own rank sequence like any other source)
+    per_entity_hits = (
+        predictions.where(F.col("rank") <= top_k)
+        .join(
+            golden.select("entity_id", F.col("gt_bfo_uri").alias("class_uri")),
+            ["entity_id", "class_uri"],
+            "left_semi",
+        )
+        .select("source", "entity_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cells = sources.crossJoin(golden.select("entity_id"))
+    return (
+        cells.join(per_entity_hits, ["source", "entity_id"], "left")
+        .withColumn("hit", F.coalesce(F.col("hit"), F.lit(0)))
+        .groupBy("source")
+        .agg(
+            F.avg("hit").alias("accuracy"),
+            F.sum("hit").alias("correct"),
+            F.count("*").alias("total"),
+        )
+        .select("accuracy", "correct", "total", "source")
+    )
 
 
 def precision_recall(ours: DataFrame, reference: DataFrame, keys: list[str]) -> dict:

@@ -139,6 +139,16 @@ class SentenceTransformerEncoder:
         self.dim = dim
         self._model = None
 
+    def __getstate__(self):
+        # NEVER ship loaded weights inside a UDF closure: the driver may
+        # have lazily initialized (class_index encodes the 35 class texts
+        # driver-side), but each executor process re-initializes its own
+        # singleton on first encode — the reference's model-registry cache
+        # semantics (model_registry.py:45-69) at executor scope.
+        state = self.__dict__.copy()
+        state["_model"] = None
+        return state
+
     def encode(self, texts) -> np.ndarray:
         if self._model is None:
             from sentence_transformers import SentenceTransformer  # import-gated

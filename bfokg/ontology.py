@@ -255,7 +255,22 @@ def build_closure(
 
     Returns (descendant_uri, ancestor_uri, distance) with distance >= 1,
     keeping the MINIMUM distance per pair.
+
+    The returned DataFrame carries a cleanup handle
+    (``bfokg.util.release_intermediates``) for the persisted edge table and
+    per-round frontiers; callers in long-lived sessions should release it
+    after the consuming action.
+
+    If the loop exits via the iteration cap with a still-growing frontier,
+    a ``RuntimeWarning`` is raised: pairs beyond ``max_iterations + 1`` hops
+    are MISSING from the result — size ``max_iterations`` to the graph's
+    known depth (real Wikidata P279 chains exceed the default).
     """
+    import warnings
+
+    from .util import attach_cleanup
+
+    cached: list[DataFrame] = []
     direct = (
         edges.select(
             F.col(child_col).alias("descendant_uri"),
@@ -265,9 +280,20 @@ def build_closure(
         .where(F.col("descendant_uri") != F.col("ancestor_uri"))
         .dropDuplicates(["descendant_uri", "ancestor_uri"])
     )
-    direct = direct.persist()
+    # Pre-shuffle the STATIC side of every round's extension join by its
+    # join key and persist it sorted: sort-merge join then re-uses the
+    # cached partitioning+ordering, so each round exchanges only the
+    # (shrinking) frontier, never the full edge table.
+    n_part = direct.sparkSession.sparkContext.defaultParallelism
+    direct = (
+        direct.repartition(n_part, "descendant_uri")
+        .sortWithinPartitions("descendant_uri")
+        .persist()
+    )
+    cached.append(direct)
     closure = direct
     frontier = direct
+    exhausted = False
     for i in range(max_iterations):
         stepped = (
             frontier.alias("f")
@@ -293,13 +319,24 @@ def build_closure(
             new_pairs = new_pairs.localCheckpoint(eager=True)
         else:
             new_pairs = new_pairs.persist()
+            cached.append(new_pairs)
         if new_pairs.isEmpty():
+            exhausted = True
             break
         # plain union of cached parts — persisting the cumulative union
         # itself would store each level's rows once per later level
         closure = closure.unionByName(new_pairs)
         frontier = new_pairs
-    return closure
+    if not exhausted:
+        warnings.warn(
+            f"build_closure hit max_iterations={max_iterations} with a "
+            f"non-empty frontier: transitive paths longer than "
+            f"{max_iterations + 1} edges are missing from the closure. "
+            f"Raise max_iterations to cover the graph's depth.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return attach_cleanup(closure, *cached)
 
 
 def closure_rows() -> list[tuple[str, str, int]]:

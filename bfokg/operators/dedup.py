@@ -31,6 +31,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..util import attach_cleanup
+
 # ---------------------------------------------------------------- exact --
 
 
@@ -208,7 +210,7 @@ def minhash_lsh_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
-    return est
+    return attach_cleanup(est, sigs)
 
 
 # -------------------------------------------------------------- simhash --
@@ -228,11 +230,20 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             out = []
             for text in pdf[text_col].fillna(""):
                 toks = word.findall(text.lower())
-                acc = np.zeros(bits, dtype=np.int64)
-                for t in toks:
-                    h = np.uint64(crc32(t.encode()) | (crc32((t + "#").encode()) << 32))
-                    sign = ((h >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
-                    acc += sign
+                if not toks:
+                    out.append(0)
+                    continue
+                # one vectorized bit-expansion over ALL tokens at once —
+                # the per-token Python loop only pays the (C-fast) crc32
+                # calls; the 64-wide sign/sum math is a single numpy pass
+                hs = np.fromiter(
+                    (crc32(t.encode()) | (crc32((t + "#").encode()) << 32) for t in toks),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                tok_bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+                # acc = Σ (bit*2 - 1) = 2·Σbit − n_toks, identical per-bit sums
+                acc = 2 * tok_bits.sum(axis=0, dtype=np.int64) - len(toks)
                 fp = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
                 # reinterpret the uint64 bit pattern as two's-complement int64
                 out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
@@ -273,11 +284,12 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    return attach_cleanup(out, fp)
 
 
 # ----------------------------------------------- embedding near-dup ------
@@ -288,11 +300,21 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucketed: bool = False,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column, built-ins only
     (F.aggregate/zip_with dot products — JVM-side, no Python).
-    Quadratic: apply after an LSH bucket stage at scale (see
-    similarity_search.lsh_bucket_candidates)."""
+
+    ``bucketed=False`` (default) is exact all-pairs — quadratic, the
+    small-input oracle. ``bucketed=True`` is the 100 TB path: candidate
+    pairs come from ``similarity_search.lsh_bucket_candidates`` (multi-table
+    signed-projection LSH, shuffle O(n·n_tables)) and only candidates pay
+    the exact-cosine verify. Same output contract; recall < 1 in theory but
+    ≈ 1 for genuinely-near pairs with the default table count (see the
+    candidate generator's docstring for the math)."""
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     e = embeddings.select(
         F.col(id_col).alias("vid"),
@@ -301,13 +323,21 @@ def embedding_near_dups(
     )
     a = e.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"))
     b = e.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"))
+    if bucketed:
+        from .similarity_search import lsh_bucket_candidates
+
+        cand = lsh_bucket_candidates(
+            embeddings, n_planes=n_planes, n_tables=n_tables,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     dot = F.aggregate(
         F.zip_with("vec_a", "vec_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (F.col("norm_a") * F.col("norm_b")))
+        pairs.withColumn("cosine", dot / (F.col("norm_a") * F.col("norm_b")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

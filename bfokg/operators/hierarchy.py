@@ -90,6 +90,7 @@ def classify_hierarchical(
         .select("entity_id", "class_uri", "class_label", "confidence")
         .persist()
     )
+    cached = [scores]
 
     state = entities.select(
         F.col("id").alias("entity_id"),
@@ -172,7 +173,8 @@ def classify_hierarchical(
                 ),
             ).alias("path"),
             F.lit(None).cast("string").alias("stop_reason"),
-        ).localCheckpoint(eager=False)
+        ).persist()  # not localCheckpoint: AQE materializes .rdd eagerly
+        cached.append(state)
         # rows that reached max_depth fall out of the loop below
 
     # anything still descending at max_depth stops there (tree depth ≤ 7)
@@ -182,10 +184,12 @@ def classify_hierarchical(
         )
     )
 
+    from ..util import attach_cleanup
+
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)
-    return out.select(
+    out = out.select(
         "entity_id",
         F.col("cur_uri").alias("class_uri"),
         F.col("cur_label").alias("class_label"),
@@ -196,6 +200,7 @@ def classify_hierarchical(
         "depth",
         "path",
     )
+    return attach_cleanup(out, *cached)
 
 
 def _tree_children_by_uri() -> dict[str, list[str]]:

@@ -3,17 +3,22 @@
 Baseline: brute-force cosine top-k — pure built-ins (zip_with/aggregate dot
 product, window top-k), correct at any scale but O(Q×N).
 Scale path: LSH-bucketed search — random signed projections assign each
-vector a bucket signature; queries probe only their own bucket (plus
-multi-probe neighbors), turning O(Q×N) into O(Q×bucket). Projections are
-seeded and computed by a JVM-side expression (no Python in the scoring
-path; the projection constants are literals folded into the plan).
+vector a bucket signature; queries probe only their own bucket. The
+projection vectors are Rademacher (±1) patterns derived from
+``xxhash64(seed, table, plane, element_index)`` — a pure JVM expression, so
+bucketing is dim-agnostic (no driver-side action to infer the vector
+length), deterministic, and stays inside whole-stage codegen.
+
+``lsh_bucket_candidates`` is the multi-table candidate generator the dedup
+family composes with (``dedup.embedding_near_dups(bucketed=True)``):
+OR-amplification over ``n_tables`` independent bucket tables keeps recall
+high for genuinely-near pairs while candidate counts stay
+O(Σ bucket²) ≪ O(n²).
 """
 
 from __future__ import annotations
 
-import numpy as np
-
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _norm(vec_col):
@@ -55,21 +60,29 @@ def brute_force_topk(
     )
 
 
-def random_projections(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+def rademacher_bucket_col(vec_col, n_planes: int = 8, seed: int = 42,
+                          table: int = 0) -> Column:
+    """Signed-projection bucket id as a pure JVM expression.
 
+    Plane j's projection vector is the Rademacher pattern
+    r[i] = ±1 chosen by xxhash64(seed, table, j, i); bit_j = (Σ v[i]·r[i]) > 0;
+    bucket = Σ bit_j << j. No Python at execution, no dim needed up front —
+    the element index comes from zip_with against sequence(0, size-1), so
+    the same expression works for any (even ragged) vector length.
+    """
+    idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
 
-def _bucket_col(vec_col, planes: np.ndarray):
-    """Signed-projection bucket id as a JVM expression: for each plane,
-    bit = (Σ v[i]*p[i]) > 0; bucket = Σ bit<<j. Plane constants are column
-    literals — Catalyst folds them; no Python at execution."""
+    def _signer(plane):
+        def sign(v, i):
+            h = F.xxhash64(F.lit(seed), F.lit(table), F.lit(plane), i)
+            return F.when(F.pmod(h, F.lit(2)) == 0, v).otherwise(-v)
+
+        return sign
+
     bits = []
-    for j, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, arr, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
+    for j in range(n_planes):
+        signed = F.zip_with(vec_col, idx, _signer(j))
+        dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
@@ -82,7 +95,6 @@ def lsh_topk(
     corpus: DataFrame,
     k: int = 5,
     n_planes: int = 8,
-    dim: int | None = None,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
@@ -90,20 +102,17 @@ def lsh_topk(
 ) -> DataFrame:
     """LSH-bucketed ANN: exact cosine, but only within the query's bucket.
     Recall < 1 by construction; n_planes tunes bucket granularity."""
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
-    planes = random_projections(dim, n_planes, seed)
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         _norm(F.col(vec_col)).alias("qnorm"),
-        _bucket_col(F.col(vec_col), planes).alias("bucket"),
+        rademacher_bucket_col(F.col(vec_col), n_planes, seed).alias("bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(vec_col).alias("cvec"),
         _norm(F.col(vec_col)).alias("cnorm"),
-        _bucket_col(F.col(vec_col), planes).alias("bucket"),
+        rademacher_bucket_col(F.col(vec_col), n_planes, seed).alias("bucket"),
     )
     scored = q.join(c, "bucket").withColumn(
         "cosine", _dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
@@ -113,4 +122,49 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def lsh_bucket_candidates(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs by multi-table signed-projection LSH.
+
+    Each of ``n_tables`` independent tables hashes every vector into a
+    2^n_planes-bucket space; a pair is a candidate when it collides in ANY
+    table (OR-amplification). For a pair at angle θ the per-table collision
+    probability is ≈ (1−θ/π)^n_planes, so the miss probability decays as
+    (1−p)^n_tables — with the defaults, pairs at cosine ≥ 0.95 are missed
+    with probability < 1e-2 per table-set and the expression is
+    deterministic (xxhash64-seeded), so recall on a given dataset is fixed,
+    not a coin flip per run.
+
+    Scale shape: explode to (id, table, bucket) — n_tables rows per vector —
+    then self-join within (table, bucket) only. Shuffle is O(n·n_tables);
+    the join output is Σ_buckets |bucket|², never all-pairs.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    buckets = embeddings.select(
+        F.col(id_col).alias("bid"),
+        F.posexplode(
+            F.array(
+                *[
+                    rademacher_bucket_col(F.col(vec_col), n_planes, seed, table=t)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "bucket"),
+    )
+    return (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["tbl", "bucket"])
+        .where(F.col("x.bid") < F.col("y.bid"))
+        .select(F.col("x.bid").alias("id_a"), F.col("y.bid").alias("id_b"))
+        .distinct()
     )

@@ -74,10 +74,18 @@ def cascade(
     stage_results: list[DataFrame] = []  # for last-non-empty fallback
     trace_parts: list[DataFrame] = []
 
+    cached: list[DataFrame] = []
     for stage_idx, name in enumerate(order):
         threshold = float(thresholds.get(name, CASCADE_DEFAULT_THRESHOLD))
         matches = classifiers[name](remaining, top_k)
-        matches = _core(matches).localCheckpoint(eager=False)
+        # persist, NOT localCheckpoint: each stage's matches feed four
+        # consumers (top1/accepted/residual/trace) — persist dedups the
+        # compute lazily, while localCheckpoint(eager=False) + AQE
+        # materializes every shuffle stage AT CONSTRUCTION TIME (.rdd
+        # forces AQE stage execution) — measured ~13 driver jobs before an
+        # action was ever requested.
+        matches = _core(matches).persist()
+        cached.append(matches)
         top1 = matches.where(F.col("rank") == 1).select(
             "entity_id",
             F.col("class_label").alias("top_prediction"),
@@ -125,11 +133,13 @@ def cascade(
     last_stage = residual.groupBy("entity_id").agg(F.max("stage_idx").alias("stage_idx"))
     last_nonempty = _core(residual.join(last_stage, ["entity_id", "stage_idx"]))
 
+    from ..util import attach_cleanup
+
     matches = accepted.unionByName(last_nonempty)
     trace = trace_parts[0]
     for part in trace_parts[1:]:
         trace = trace.unionByName(part)
-    return matches, trace
+    return attach_cleanup(matches, *cached), attach_cleanup(trace, *cached)
 
 
 def ensemble(
@@ -220,31 +230,32 @@ def tiered(
     retagged — hybrid.py:560-566)."""
     from ..functions.text import has_many_aliases_col, has_short_description_col
 
+    from ..util import attach_cleanup
+
     routed = entities.withColumn(
         "route",
         F.when(has_many_aliases_col(), "cascade")
         .when(has_short_description_col(), "ensemble")
         .otherwise("semantic"),
     ).persist()
-    parts = []
+    # All three branches union unconditionally — an empty slice contributes
+    # zero rows for free, and probing with isEmpty() would cost three extra
+    # driver actions that each recompute the routing scan.
     cascade_slice = routed.where(F.col("route") == "cascade").drop("route")
-    if not cascade_slice.isEmpty():
-        m, _trace = cascade(cascade_slice, classifiers, top_k)
-        parts.append(_core(m))
+    cascade_matches, _trace = cascade(cascade_slice, classifiers, top_k)
     ensemble_slice = routed.where(F.col("route") == "ensemble").drop("route")
-    if not ensemble_slice.isEmpty():
-        parts.append(_core(ensemble(ensemble_slice, classifiers, top_k)))
     semantic_slice = routed.where(F.col("route") == "semantic").drop("route")
-    if not semantic_slice.isEmpty():
-        parts.append(
-            _core(classifiers["semantic"](semantic_slice, top_k)).withColumn(
-                "source", F.lit("tiered")
-            )
-        )
+    parts = [
+        _core(cascade_matches),
+        _core(ensemble(ensemble_slice, classifiers, top_k)),
+        _core(classifiers["semantic"](semantic_slice, top_k)).withColumn(
+            "source", F.lit("tiered")
+        ),
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return attach_cleanup(out, routed)
 
 
 def infer_parents(

@@ -184,7 +184,9 @@ def synthetic_p279_graph(
     DAG by construction: both parent indices are strictly smaller than the
     child index (extra edges only on id >= hub_classes).
     """
-    nodes = spark.range(1, n_nodes)
+    # inclusive upper bound: Q1..Q{n_nodes} child nodes plus the Q0 root,
+    # so an "8M-node" run really covers 8M non-root nodes
+    nodes = spark.range(1, n_nodes + 1)
     tree = nodes.select(
         F.concat(F.lit("Q"), F.col("id")).alias("child"),
         F.concat(F.lit("Q"), (F.col("id") / fanout).cast("long")).alias("parent"),

@@ -30,6 +30,21 @@ from ..operators.triples import dedup_triples, extract_triples, link_triples, no
 from ..sources.warehouse import LineageLog, is_committed, read_table, write_table
 
 
+def _semantic_encoder(cfg):
+    """Preset-selected encoder: the SentenceTransformer adapter when the
+    library is importable (production path, model name from the preset —
+    reference model_registry.py:45-69), else ``None`` so classify_semantic
+    falls back to the deterministic corpus-grounded encoder. The dataflow
+    is identical either way — only the closure-captured encoder changes."""
+    try:
+        import sentence_transformers  # noqa: F401  (import-gated)
+    except ImportError:
+        return None
+    from ..functions.encoders import SentenceTransformerEncoder
+
+    return SentenceTransformerEncoder(cfg.semantic_model, dim=cfg.encoder_dim)
+
+
 def default_classifiers(spark: SparkSession, config=None):
     """C9 — config-gated classifier table (reference hybrid.py:54-95: the
     zeroshot stage only exists when a model is configured; finetuned is a
@@ -40,9 +55,10 @@ def default_classifiers(spark: SparkSession, config=None):
     classes = bfo_classes_df(spark)
     p31 = p31_rules_df(spark)
     kw = keyword_rules_df(spark)
+    encoder = _semantic_encoder(cfg)
     clf = {
         "rule_based": lambda df, k: classify_rule_based(df, classes, p31, kw, top_k=k or TOP_K_DEFAULT),
-        "semantic": lambda df, k: classify_semantic(df, top_k=k),
+        "semantic": lambda df, k: classify_semantic(df, encoder=encoder, top_k=k),
     }
     if cfg.zeroshot_enabled:
         from ..operators.zeroshot import classify_zeroshot

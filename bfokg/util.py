@@ -1,0 +1,42 @@
+"""Small shared utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def attach_cleanup(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Attach a ``release_intermediates()`` handle to an operator's output.
+
+    Several operators persist intermediates (MinHash signatures, SimHash
+    fingerprints, routing tables, closure frontiers) that the returned
+    lazy DataFrame still depends on — they cannot be unpersisted inside the
+    operator without recomputing the cached work at action time. Long-lived
+    sessions that call such operators repeatedly should release the cache
+    once the consuming action has completed::
+
+        pairs = minhash_lsh_pairs(docs)
+        pairs.write.parquet(out)
+        release_intermediates(pairs)
+
+    Composing operators propagate handles by passing the upstream result's
+    cached frames along.
+    """
+    existing = getattr(result, "_bfokg_cached", ())
+    result._bfokg_cached = tuple(existing) + tuple(cached)
+    return result
+
+
+def release_intermediates(df: DataFrame, blocking: bool = False) -> int:
+    """Unpersist every intermediate attached via ``attach_cleanup``.
+    Returns the number of frames released. Safe to call twice."""
+    cached = getattr(df, "_bfokg_cached", ())
+    n = 0
+    for frame in cached:
+        try:
+            frame.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass
+    df._bfokg_cached = ()
+    return n

@@ -56,6 +56,36 @@ def test_minhash_recall_vs_exact(spark):
     assert (1, 4) not in est and (4, 5) not in est
 
 
+def test_simhash_fingerprints_match_scalar_reference(spark):
+    """The vectorized numpy kernel must produce bit-identical fingerprints
+    to the straightforward per-token accumulation (the pre-vectorization
+    implementation, restated here as the oracle)."""
+    import re
+    from zlib import crc32
+
+    import numpy as np
+
+    from bfokg.operators.dedup import simhash_df
+
+    def scalar_simhash(text, bits=64):
+        word = re.compile(r"[a-z0-9]+")
+        shifts = np.arange(bits, dtype=np.uint64)
+        acc = np.zeros(bits, dtype=np.int64)
+        for t in word.findall(text.lower()):
+            h = np.uint64(crc32(t.encode()) | (crc32((t + "#").encode()) << 32))
+            acc += ((h >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+        fp = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    d = docs(spark)
+    got = {r.doc_id: r.simhash for r in simhash_df(d).collect()}
+    want = {r.doc_id: scalar_simhash(r.text) for r in d.collect()}
+    assert got == want
+    # empty text → fingerprint 0
+    empty = spark.createDataFrame([(99, "")], "doc_id long, text string")
+    assert simhash_df(empty).first().simhash == 0
+
+
 def test_simhash_near_dups(spark):
     out = {(r.doc_a, r.doc_b): r.hamming for r in
            simhash_near_dups(docs(spark), max_hamming=8).collect()}
@@ -98,6 +128,83 @@ def test_lsh_topk_recovers_near_neighbor(spark):
 def test_embedding_near_dups(spark):
     out = {(r.id_a, r.id_b) for r in embedding_near_dups(embs(spark), 0.95).collect()}
     assert (0, 1) in out and (2, 3) in out and (0, 4) not in out
+
+
+def clustered_embs(spark, n_clusters=12, per_cluster=4, dim=16):
+    """Deterministic clustered vectors: near-dups within a cluster (tiny
+    perturbations of a shared base), near-orthogonal across clusters."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for j in range(per_cluster):
+            v = base + 0.01 * j * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_lsh_bucket_recall(spark):
+    """The bucketed (scale) path must recover every exact near-dup pair —
+    the same recall pin as test_minhash_recall_vs_exact. Deterministic:
+    buckets are xxhash64-seeded, so this is a fixed property of the data,
+    not a per-run coin flip."""
+    e = clustered_embs(spark)
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dups(e, 0.95).collect()}
+    buck = {(r.id_a, r.id_b) for r in
+            embedding_near_dups(e, 0.95, bucketed=True).collect()}
+    assert len(exact) > 10          # the fixture really has near-dups
+    assert exact <= buck            # recall: no exact pair missed
+    assert buck <= exact            # verify stage kills false candidates
+
+
+def test_lsh_bucket_candidates_prunes(spark):
+    """Candidate generation must not degenerate to all-pairs on clustered
+    data — cross-cluster pairs are mostly pruned."""
+    from bfokg.operators.similarity_search import lsh_bucket_candidates
+
+    e = clustered_embs(spark)
+    n = e.count()
+    cand = lsh_bucket_candidates(e).count()
+    assert cand < n * (n - 1) // 2 * 0.5
+
+
+def test_no_jobs_at_operator_construction(spark):
+    """Operator CONSTRUCTION must be plan-building only — no Spark job may
+    launch until an action runs (VERDICT r1 item 8). Pinned via job-group
+    tracking: any job triggered inside the block would inherit the group."""
+    from bfokg.operators.similarity_search import lsh_bucket_candidates, lsh_topk
+    from bfokg.operators.strategies import tiered
+
+    e = clustered_embs(spark)
+    q = e.where(F.col("vec_id") < 2).select(F.col("vec_id").alias("query_id"), "embedding")
+    ents = spark.createDataFrame(
+        [("e1", "lbl", "desc", ["a", "b", "c", "d"], "t"),
+         ("e2", "lbl", "x" * 60, [], "t")],
+        "id string, label string, description string, aliases array<string>, text string",
+    )
+    matches = spark.createDataFrame(
+        [("e1", "u", "U", 0.9, "semantic", 1)],
+        "entity_id string, class_uri string, class_label string, "
+        "confidence double, source string, rank int",
+    )
+    fake = lambda df, k: matches.join(  # noqa: E731
+        df.select(F.col("id").alias("entity_id")), "entity_id", "left_semi"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("construction-probe", "no jobs expected")
+    try:
+        lsh_topk(q, e, k=3)
+        lsh_bucket_candidates(e)
+        embedding_near_dups(e, bucketed=True)
+        tiered(ents, {"rule_based": fake, "semantic": fake, "zeroshot": fake})
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert sc.statusTracker().getJobIdsForGroup("construction-probe") == []
 
 
 def test_textstats(spark):

@@ -61,7 +61,7 @@ def test_synthetic_p279_closure_exact(spark):
         for r in build_closure(tree, "child", "parent").collect()
     }
     expected = set()
-    for i in range(1, n):
+    for i in range(1, n + 1):  # inclusive bound: Q1..Qn are all children
         a, d = i, 0
         while a > 0:
             a //= fanout

@@ -60,6 +60,7 @@ def classify_hierarchical(
     max_depth: int = HIER_MAX_DEPTH,
     source: str = "hierarchical_semantic",
     impl: str = "kernel",
+    subtree_smoothing: bool = True,
 ) -> DataFrame:
     """Returns one row per entity:
     (entity_id, class_uri, class_label, confidence, source, rank=1,
@@ -81,12 +82,14 @@ def classify_hierarchical(
     """
     if impl == "kernel":
         return _hierarchical_kernel(
-            entities, encoder, min_confidence, drop_threshold, max_depth, source
+            entities, encoder, min_confidence, drop_threshold, max_depth,
+            source, subtree_smoothing=subtree_smoothing,
         )
     if children_dim is None:
         raise ValueError("iterative impl needs children_dim")
     scores = (
-        classify_semantic(entities, encoder=encoder, top_k=None)
+        classify_semantic(entities, encoder=encoder, top_k=None,
+                          subtree_smoothing=subtree_smoothing)
         .select("entity_id", "class_uri", "class_label", "confidence")
         .persist()
     )
@@ -222,6 +225,7 @@ def _hierarchical_kernel(
     source: str,
     id_col: str = "id",
     text_col: str = "text",
+    subtree_smoothing: bool = True,
 ) -> DataFrame:
     """One-pass vectorized walk (see classify_hierarchical docstring).
 
@@ -231,7 +235,7 @@ def _hierarchical_kernel(
     the same node share one numpy slice/argmax. Children column lists are
     uri-ASC so argmax's first-max rule IS the (conf DESC, uri ASC) tiebreak."""
     enc = encoder or default_class_encoder()
-    uris, labels, matrix = class_index(enc)
+    uris, labels, matrix = class_index(enc, subtree_smoothing)
     col_of = {u: i for i, u in enumerate(uris)}
     label_of = dict(zip(uris, labels))
     children_cols = {

@@ -55,12 +55,34 @@ def default_class_encoder() -> VocabTfidfEncoder:
     return VocabTfidfEncoder([r[2] for r in class_texts()])
 
 
-def class_index(encoder) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """M1 — the ontology embedding index. Returns (uris, labels, matrix)."""
+def class_index(
+    encoder, subtree_smoothing: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """M1 — the ontology embedding index. Returns (uris, labels, matrix).
+
+    ``subtree_smoothing=True`` replaces each class vector with the
+    L2-normalized SUM of its subtree's vectors (own + all descendants).
+    An internal node then scores "similar to anything below me" — the
+    level-wise discriminative signal the hierarchical walk needs, because
+    an entity's text overlaps its LEAF class's concrete examples, not the
+    abstract definition of 'Continuant'. SBERT gets this generalization
+    from pretraining; the deterministic lexical encoder gets it from the
+    subtree aggregate instead. Encoder-level choice only — the walk's stop
+    rules and (cos+1)/2 math are untouched."""
     rows = class_texts()
     uris = np.array([r[0] for r in rows])
     labels = np.array([r[1] for r in rows])
     matrix = encoder.encode([r[2] for r in rows])  # rows are L2-normalized
+    if subtree_smoothing:
+        from ..ontology import closure_rows
+
+        idx = {u: i for i, u in enumerate(uris)}
+        agg = matrix.astype(np.float64).copy()
+        for desc, anc, _dist in closure_rows():
+            agg[idx[anc]] += matrix[idx[desc]]
+        norms = np.linalg.norm(agg, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        matrix = (agg / norms).astype(matrix.dtype)
     return uris, labels, matrix
 
 
@@ -72,16 +94,19 @@ def classify_semantic(
     source: str = "semantic",
     id_col: str = "id",
     text_col: str = "text",
+    subtree_smoothing: bool = False,
 ) -> DataFrame:
     """Score entities against all BFO classes; emit per-entity top-k rows.
 
     ``top_k=None`` emits all classes per entity (used by ensemble's
     top_k*2 pulls and by hierarchical traversal, which scores all classes
     then filters to the current node's children — hybrid.py:345-349).
+    ``subtree_smoothing`` is the hierarchical walk's class-matrix mode
+    (see class_index); flat classification keeps the per-class vectors.
     Output: SEMANTIC_MATCHES_SCHEMA.
     """
     enc = encoder or default_class_encoder()
-    uris, labels, matrix = class_index(enc)
+    uris, labels, matrix = class_index(enc, subtree_smoothing)
     n_classes = len(uris)
     k = n_classes if top_k is None else min(top_k, n_classes)
     src = source

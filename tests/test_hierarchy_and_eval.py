@@ -83,6 +83,27 @@ def test_engine_hit3_on_reference_fixtures(spark):
     assert acc.accuracy >= 0.90, f"hit@3 degraded: {acc.accuracy}"
 
 
+def test_hierarchical_gt_on_path_floor(spark):
+    """Accuracy floor for the hierarchical walk (VERDICT r1 item 9): the
+    ground-truth class must be VISITED on the walk (the path analog of
+    parent credit) for ≥ 20 of the 29 reference fixtures. The
+    subtree-smoothed class matrix (class_index(subtree_smoothing=True))
+    provides the level-wise discrimination; stop rules are untouched."""
+    fixtures = fixtures_df(spark)
+    ents = with_entity_text(fixtures)
+    golden = fixtures.select(F.col("id").alias("entity_id"), "gt_bfo_uri")
+    hier = classify_hierarchical(ents)
+    onpath = (
+        hier.join(golden, "entity_id")
+        .select(
+            F.exists("path", lambda p: p["class_uri"] == F.col("gt_bfo_uri"))
+            .cast("int").alias("h")
+        )
+        .agg(F.sum("h")).first()[0]
+    )
+    assert onpath >= 20, f"gt-on-path degraded: {onpath}/29 (floor: 20)"
+
+
 def test_hierarchical_kernel_matches_iterative(spark):
     """The zero-shuffle mapInPandas walk and the iterative join/window loop
     produce IDENTICAL rows (same stop reasons, same float64 confidences,

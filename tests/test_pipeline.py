@@ -61,10 +61,39 @@ def test_extraction_impls_agree(spark):
     m_sql = Counter(map(tuple, extract_mentions(df, impl="sql").select(m_cols).collect()))
     m_pd = Counter(map(tuple, extract_mentions(df, impl="pandas").select(m_cols).collect()))
     assert m_sql == m_pd
+    # the O(|text|) dictionary-size-independent Aho-Corasick kernel must
+    # reproduce the regex path exactly (leftmost-longest, word boundaries,
+    # non-overlapping)
+    m_aho = Counter(map(tuple, extract_mentions(df, impl="aho").select(m_cols).collect()))
+    assert m_sql == m_aho
     t_cols = ["conv_id", "turn_idx", "subj_mention", "pred", "obj_mention"]
     t_sql = Counter(map(tuple, extract_triples(df, impl="sql").select(t_cols).collect()))
     t_pd = Counter(map(tuple, extract_triples(df, impl="pandas").select(t_cols).collect()))
     assert t_sql == t_pd
+
+
+def test_aho_corasick_matches_regex_semantics():
+    """Driver-side pin: AhoCorasick.search == the word-boundary alternation
+    regex (longest-first) on crafted overlap/boundary edge cases."""
+    import re
+
+    from bfokg.operators.linking import AhoCorasick, surface_pattern
+
+    pats = ["sahara desert", "sahara", "desert", "ab", "abc", "tour",
+            "la tour eiffel", "x y z", "y"]
+    ac = AhoCorasick(pats)
+    rx = re.compile(surface_pattern(pats))
+    texts = [
+        "the sahara desert is a desert",          # longest-first + reuse
+        "sahara deserts",                          # trailing boundary kills both
+        "abcd ab abc",                             # prefix chains + boundaries
+        "visit la tour eiffel and the tour",       # multiword containing 'tour'
+        "x y z y x",                               # overlap chain
+        "xabc",                                    # leading boundary kills
+        "", "   ", "ab",                           # degenerate
+    ]
+    for t in texts:
+        assert [m for _s, m in ac.search(t)] == rx.findall(t), t
 
 
 def test_salted_join_agrees_with_broadcast(spark):

@@ -108,7 +108,17 @@ class LineageLog:
     """Per-stage / per-partition lineage + metrics rows (north_rule S7
     equivalent of the reference's YAML run-logger,
     classification_logger.py:28-112 — one structured row per stage instead
-    of one YAML file per entity)."""
+    of one YAML file per entity).
+
+    Field mapping for users porting reference tooling that reads the YAML
+    run-logs: YAML ``timestamp`` → ``ts``; ``entity`` block → the stage's
+    input table (set-at-a-time, so per-stage not per-entity); ``result.
+    processing_time_ms`` → ``elapsed_sec``; ``result.matches`` → the
+    stage's OUTPUT table rows (queryable, not embedded); numpy-coercion
+    (logger.py:60-80) is unnecessary — values are Spark-native types.
+    The per-ENTITY UX (one human-readable log per classification) lives in
+    ``jobs/classify_entity.py --log`` which writes one JSON per run with
+    the reference's fields."""
 
     def __init__(self, spark: SparkSession, run_id: str | None = None):
         self.spark = spark

@@ -28,7 +28,9 @@ PLAN_QUERIES = [
     "customer_nation_revenue",
     "wikidata_canon",
     "embedding_topk",
+    "embedding_lsh_dups",
     "dedup_exact",
+    "doc_cascade",
 ]
 
 

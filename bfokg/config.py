@@ -107,6 +107,45 @@ MODEL_PRESETS = {
 }
 
 
+# Model catalog — vendored from reference configs/models.yaml:4-66
+# (the registry's list_available_models surface, model_registry.py). Only
+# the fields the bake-off prints; benchmark numbers are the reference's.
+MODEL_CATALOG = {
+    "semantic": [
+        {"name": "all-MiniLM-L6-v2", "description": "Fast, lightweight sentence transformer",
+         "size": "80MB", "speed": "fast", "quality": "good", "dims": 384},
+        {"name": "all-mpnet-base-v2", "description": "Highest quality sentence transformer",
+         "size": "420MB", "speed": "medium", "quality": "best", "dims": 768},
+        {"name": "all-distilroberta-v1", "description": "Balanced speed and quality",
+         "size": "290MB", "speed": "fast", "quality": "good", "dims": 768},
+        {"name": "paraphrase-multilingual-MiniLM-L12-v2",
+         "description": "Multilingual support (50+ languages)",
+         "size": "420MB", "speed": "medium", "quality": "good", "dims": 384},
+    ],
+    "zeroshot": [
+        {"name": "facebook/bart-large-mnli",
+         "description": "SOTA zero-shot classification, industry standard",
+         "size": "1.6GB", "speed": "slow", "quality": "excellent", "dims": 1024},
+        {"name": "MoritzLaurer/DeBERTa-v3-base-mnli-fever-anli",
+         "description": "Best performance, trained on 3 NLI datasets",
+         "size": "440MB", "speed": "medium", "quality": "excellent", "dims": 768},
+        {"name": "typeform/distilbert-base-uncased-mnli",
+         "description": "Fastest option, good for production",
+         "size": "260MB", "speed": "fast", "quality": "good", "dims": 768},
+    ],
+}
+
+
+def list_available_models(model_type: str) -> list[dict]:
+    """The registry's catalog listing (reference model_registry.py /
+    models.yaml:4-66). Unknown type → ValueError."""
+    if model_type not in MODEL_CATALOG:
+        raise ValueError(
+            f"unknown model type: {model_type!r} (valid: {sorted(MODEL_CATALOG)})"
+        )
+    return [dict(m) for m in MODEL_CATALOG[model_type]]
+
+
 @dataclass
 class EngineConfig:
     """Driver-side run configuration (the reference's YAML dict, typed)."""

@@ -162,3 +162,20 @@ class SentenceTransformerEncoder:
 
 def default_encoder(dim: int = 384) -> HashingEncoder:
     return HashingEncoder(dim=dim)
+
+
+def encoder_for_model(name: str, dim: int = 384):
+    """Resolve a catalog model name (config.MODEL_CATALOG) to an encoder:
+    the SentenceTransformer adapter when the library is importable, else
+    the deterministic hashing fallback at the model's embedding dim (so a
+    bake-off still exercises distinct encoder geometries offline). The
+    returned encoder carries ``resolved_from`` for display."""
+    try:
+        import sentence_transformers  # noqa: F401
+
+        enc = SentenceTransformerEncoder(name, dim=dim)
+        enc.resolved_from = "sentence-transformers"
+    except ImportError:
+        enc = HashingEncoder(dim=dim)
+        enc.resolved_from = f"hashing fallback for {name}"
+    return enc

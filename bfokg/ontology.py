@@ -235,7 +235,7 @@ def build_closure(
     child_col: str = "child",
     parent_col: str = "parent",
     max_iterations: int = 12,
-    checkpoint_every: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Transitive-closure by iterative DataFrame self-join.
 
@@ -249,33 +249,47 @@ def build_closure(
       one hop; new pairs not yet in the accumulated closure survive;
     - ``dropDuplicates`` per step + iteration cap guard against P279 cycles
       (SURVEY.md §7.2);
-    - ``localCheckpoint(eager=True)`` EVERY round (checkpoint_every=1)
-      truncates lineage so each round's logical plan is constant-size.
-      This is load-bearing, not hygiene: round k's plan references the
-      closure (union of all earlier frontiers), whose plan references ITS
-      history — Catalyst re-analyzes that as a tree, so without per-round
-      truncation driver-side analysis grows super-linearly and, being
-      single-threaded, caps strong scaling no matter how many executors
-      run tasks (measured: 2M-node run went 190s → 35s, and late-round
-      wall went 100s → 4s, from this change alone).
+    - every round RELIABLY checkpoints its frontier: the new pairs are
+      written to parquet under ``checkpoint_dir`` (a temp dir by default;
+      an Iceberg/HDFS path in production — the north_rule's snapshot
+      checkpoints) and read back as a fresh scan. Load-bearing twice over:
+      (a) round k's plan otherwise embeds the full union history of every
+          earlier round and Catalyst re-analyzes it as a TREE — driver-side
+          analysis grows super-linearly and, being single-threaded, caps
+          strong scaling no matter how many executors run tasks (measured:
+          a 2M-node run went 190s → 35s from per-round truncation alone);
+      (b) ``localCheckpoint`` is NOT a substitute — its LogicalRDD copies
+          the origin plan's constraints including references to PRIOR-round
+          attribute ids, and Spark's ``Union.rewriteConstraints`` crashes
+          on them (``key not found: descendant_uri#N``) as soon as a
+          downstream window/filter triggers constraint propagation (hit by
+          ``canonicalize_qids`` on any graph deep enough to checkpoint).
+          A parquet scan carries no constraint baggage, and unlike
+          localCheckpoint it also survives executor loss.
 
     Returns (descendant_uri, ancestor_uri, distance) with distance >= 1,
     keeping the MINIMUM distance per pair.
 
     The returned DataFrame carries a cleanup handle
-    (``bfokg.util.release_intermediates``) for the persisted edge table and
-    per-round frontiers; callers in long-lived sessions should release it
-    after the consuming action.
+    (``bfokg.util.release_intermediates``) for the persisted edge table;
+    callers in long-lived sessions should release it after the consuming
+    action. Checkpoint files live until ``checkpoint_dir`` is deleted —
+    pass an explicit dir to manage their lifecycle.
 
     If the loop exits via the iteration cap with a still-growing frontier,
     a ``RuntimeWarning`` is raised: pairs beyond ``max_iterations + 1`` hops
     are MISSING from the result — size ``max_iterations`` to the graph's
     known depth (real Wikidata P279 chains exceed the default).
     """
+    import os
+    import tempfile
     import warnings
 
     from .util import attach_cleanup
 
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="bfokg_closure_ckpt_")
+    spark = edges.sparkSession
     cached: list[DataFrame] = []
     direct = (
         edges.select(
@@ -316,16 +330,14 @@ def build_closure(
             ["descendant_uri", "ancestor_uri"],
             "left_anti",
         ).dropDuplicates(["descendant_uri", "ancestor_uri"])
-        # Materialize the frontier ONCE per iteration. Without this, the
-        # isEmpty probe, the next anti-join, and the final consumer each
-        # recompute the whole per-level lineage — measured 2-4x wall
-        # amplification at 1M nodes. localCheckpoint every few levels also
-        # truncates the union-tree lineage.
-        if (i + 1) % checkpoint_every == 0:
-            new_pairs = new_pairs.localCheckpoint(eager=True)
-        else:
-            new_pairs = new_pairs.persist()
-            cached.append(new_pairs)
+        # Materialize the frontier ONCE per iteration (reliable parquet
+        # checkpoint — see docstring). Without per-round materialization
+        # the isEmpty probe, the next anti-join, and the final consumer
+        # each recompute the whole per-level lineage — measured 2-4x wall
+        # amplification at 1M nodes.
+        round_path = os.path.join(checkpoint_dir, f"round_{i:02d}")
+        new_pairs.write.mode("overwrite").parquet(round_path)
+        new_pairs = spark.read.parquet(round_path)
         if new_pairs.isEmpty():
             exhausted = True
             break

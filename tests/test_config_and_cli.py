@@ -69,6 +69,40 @@ def test_classifier_api_accepts_preset(spark):
     assert "zeroshot" not in clf.classifiers
 
 
+def test_model_catalog_and_bakeoff(spark):
+    """M5/bake-off parity (reference scripts/compare_models.py:18-148 +
+    models.yaml:4-66): the catalog lists the reference's models, and
+    compare_models runs every one over the same entity with timings."""
+    from pyspark.sql import functions as F
+
+    from bfokg.config import list_available_models
+    from bfokg.fixtures import entities_df
+    from bfokg.functions.text import with_entity_text
+    from bfokg.plans.bakeoff import compare_models
+
+    sem = list_available_models("semantic")
+    assert [m["name"] for m in sem] == [
+        "all-MiniLM-L6-v2", "all-mpnet-base-v2", "all-distilroberta-v1",
+        "paraphrase-multilingual-MiniLM-L12-v2",
+    ]
+    assert [m["name"] for m in list_available_models("zeroshot")] == [
+        "facebook/bart-large-mnli",
+        "MoritzLaurer/DeBERTa-v3-base-mnli-fever-anli",
+        "typeform/distilbert-base-uncased-mnli",
+    ]
+    with pytest.raises(ValueError, match="unknown model type"):
+        list_available_models("finetuned")
+
+    ent = with_entity_text(entities_df(spark)).where(F.col("id") == "Q_SYNTH_1")
+    results = compare_models(ent, "semantic", top_k=3)
+    assert [r["name"] for r in results] == [m["name"] for m in sem]
+    for r in results:
+        assert r["elapsed_ms"] > 0
+        assert len(r["matches"]) == 3
+        assert [m.rank for m in r["matches"]] == [1, 2, 3]
+        assert "hashing fallback" in r["resolved_from"]  # no SBERT in sandbox
+
+
 FAKE_SBERT = '''
 """Fake sentence_transformers: deterministic encoder + per-process marker."""
 import os

@@ -931,6 +931,45 @@ FROM documents
 """
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the driver gate: every document's text is
+    packed into a 16×16 binary PGM (P5) payload — ASCII-sanitized, padded
+    to 256 bytes — and decoded by the numpy PNM parser
+    (multimodal.decode_image_kernel). The oracle recomputes width/height/
+    mean-luma directly from the same 256 characters in DuckDB, so the
+    byte-layout decoder itself is hash-checked."""
+    from bfokg.operators.multimodal import extract_image_features
+
+    body = F.rpad(
+        F.substring(F.regexp_replace("text", "[^ -~]", " "), 1, 256), 256, " "
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P5 16 16 255\n"), "utf-8"), F.encode(body, "utf-8")
+        ).alias("payload"),
+        F.lit("image/x-portable-graymap").alias("mime"),
+    )
+    return extract_image_features(d).select(
+        "doc_id", "width", "height", "n_channels",
+        F.round("mean_luma", 6).alias("mean_luma"), "decode_ok",
+    )
+
+
+SQL_IMAGE_FEATURES = """
+WITH clean AS (
+  SELECT doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', ' ', 'g'), 1, 256),
+              256, ' ') AS body
+  FROM documents)
+SELECT doc_id, 16 AS width, 16 AS height, 1 AS n_channels,
+       round(list_avg(list_transform(range(1, 257), i -> ascii(body[i])))
+             / 255.0, 6) AS mean_luma,
+       TRUE AS decode_ok
+FROM clean
+"""
+
+
 # ------------------------- relational operator demos ----------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1453,6 +1492,114 @@ def q_zeroshot_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_nodes_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline tail as a FULL oracle: graph nodes joined to the
+    deterministic claims-path canonicalization (P31 → P279-closure →
+    nearest BFO anchor). q_kg_nodes keeps the cascade/encoder-backed
+    assignment (rows-only); this variant swaps in canonicalize_qids so the
+    nodes_df join itself is hash-checked against DuckDB end to end."""
+    from bfokg.operators.linking import alias_dict_df
+    from bfokg.operators.triples import edges_df, nodes_df
+    from bfokg.operators.wikidata import (
+        canonicalize_qids,
+        wd_anchors_df,
+        wikidata_claims_df,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    edges = edges_df(t, alias_dict_df(spark))
+    canon = canonicalize_qids(wikidata_claims_df(spark), wd_anchors_df(spark))
+    assignments = canon.select(
+        F.col("qid").alias("entity_id"),
+        "class_uri",
+        F.col("bfo_label").alias("class_label"),
+        "confidence",
+        F.lit("claims").alias("source"),
+    )
+    return nodes_df(edges, assignments).select(
+        "qid", "bfo_class_uri", "bfo_label", "confidence", "source", "part"
+    )
+
+
+def _sql_kg_nodes_canon() -> str:
+    from bfokg.operators.triples import triple_pattern
+
+    path = _q(_oracle_transcripts_path())
+    triple_rx = _q(triple_pattern())
+    return f"""
+WITH t AS (SELECT lower(text) AS lt FROM read_parquet({path})),
+z AS (
+  SELECT unnest(list_zip(regexp_extract_all(lt, {triple_rx}, 1),
+                         regexp_extract_all(lt, {triple_rx}, 3))) AS trip
+  FROM t),
+alias_dict(alias, qid, label, prior) AS (VALUES
+    {_alias_values()}),
+best AS (
+  SELECT alias, qid,
+         row_number() OVER (PARTITION BY alias ORDER BY prior DESC, qid ASC) AS rn
+  FROM alias_dict),
+resolved AS (SELECT alias, qid FROM best WHERE rn = 1),
+linkedp AS (
+  SELECT s.qid AS sq, o.qid AS oq
+  FROM z
+  JOIN resolved s ON trip[1] = s.alias
+  JOIN resolved o ON trip[2] = o.alias),
+qids AS (SELECT DISTINCT sq AS qid FROM linkedp
+         UNION SELECT DISTINCT oq FROM linkedp),
+canon AS ({_sql_wikidata_canon()})
+SELECT q.qid, c.class_uri AS bfo_class_uri, c.bfo_label, c.confidence,
+       CASE WHEN c.qid IS NOT NULL THEN 'claims' END AS source,
+       coalesce(c.bfo_label, 'unclassified') AS part
+FROM qids q LEFT JOIN canon c ON q.qid = c.qid
+"""
+
+
+def _golden_values() -> str:
+    from bfokg.ontology import uri_for_label
+
+    return ",\n    ".join(
+        f"({_q(e)}, {_q(gt)}, {_q(uri_for_label(gt))})"
+        for e, _l, _d, _a, gt in _FIXTURES
+    )
+
+
+def q_eval_rule_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 evaluator math as an oracle: per-class hit@3 of the
+    rule-based classifier against the 29 golden fixtures — the hit
+    semi-join, per-entity dedup, and per-class aggregate all replayed in
+    DuckDB."""
+    from bfokg.evaluation.evaluator import per_class_accuracy
+    from bfokg.fixtures import fixtures_df
+
+    preds = q_rule_based(spark, sf_dir)
+    golden = fixtures_df(spark).select(
+        F.col("id").alias("entity_id"), "gt_bfo_label", "gt_bfo_uri"
+    )
+    return per_class_accuracy(preds, golden, top_k=3).select(
+        "gt_bfo_label",
+        F.round("accuracy", 6).alias("accuracy"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _sql_eval_rule_accuracy() -> str:
+    return f"""
+WITH preds AS ({SQL_RULE_BASED}),
+golden(entity_id, gt_bfo_label, gt_bfo_uri) AS (VALUES
+    {_golden_values()}),
+hits AS (
+  SELECT g.entity_id, g.gt_bfo_label,
+         CASE WHEN EXISTS (
+             SELECT 1 FROM preds p
+             WHERE p.entity_id = g.entity_id
+               AND p.class_uri = g.gt_bfo_uri AND p.rank <= 3)
+              THEN 1 ELSE 0 END AS hit
+  FROM golden g)
+SELECT gt_bfo_label, round(avg(hit), 6) AS accuracy, count(*) AS n
+FROM hits GROUP BY gt_bfo_label
+"""
+
+
 def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph nodes with BFO canonicalization (full pipeline tail)."""
     from bfokg.operators.linking import alias_dict_df
@@ -1506,6 +1653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_raw": q_triples_raw,
         "edges": q_edges,
         "kg_nodes": q_kg_nodes,                        # rows-only
+        "kg_nodes_canon": q_kg_nodes_canon,            # pipeline tail, oracle
+        "eval_rule_accuracy": q_eval_rule_accuracy,    # A3/A4 evaluator oracle
         # training-data / corpus operators
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1520,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,    # rows-only
         "embedding_lsh_dups": q_embedding_lsh_dups,    # bucketed dedup path
         "multimodal_meta": q_multimodal_meta,
+        "image_features": q_image_features,            # real PNM decode, oracle
         # relational operator demos
         "pricing_summary": q_pricing_summary,
         "customer_nation_revenue": q_customer_nation_revenue,
@@ -1547,11 +1697,14 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_lsh": _sql_minhash_lsh(),
         "simhash": _sql_simhash(),
+        "kg_nodes_canon": _sql_kg_nodes_canon(),
+        "eval_rule_accuracy": _sql_eval_rule_accuracy(),
         "doc_stats": _sql_doc_stats(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "embedding_lsh_dups": SQL_EMBEDDING_LSH_DUPS,
         "multimodal_meta": SQL_MULTIMODAL_META,
+        "image_features": SQL_IMAGE_FEATURES,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "customer_nation_revenue": SQL_CUSTOMER_NATION_REVENUE,
         "events_topn": SQL_EVENTS_TOPN,

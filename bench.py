@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "doc_cascade",
     "embedding_topk",
     "embedding_lsh_dups",
+    "image_features",
     "pricing_summary",
     "customer_nation_revenue",
     "events_topn",

@@ -1,18 +1,29 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video travel as ``binary`` columns with a mime/meta struct;
-decode / feature-extraction / resize / frame-sampling run as Arrow-batched
-``mapInPandas`` kernels. The decode libraries (PIL/ffmpeg/librosa) are not
-in this container, so the actual decoders are STUBS (clearly marked): the
-Spark-side plumbing — schema, partition shape, UDF signature, batch layout
-— is real and tested; drop a real decoder into ``decode_image_kernel`` and
-nothing else changes.
+decode / feature-extraction run as Arrow-batched ``mapInPandas`` kernels.
+
+Decoders, in order of preference:
+
+- **BMP** (uncompressed 24/32-bit) and **PPM/PGM** (binary P6/P5) are
+  decoded for real with pure numpy — no imaging library needed, the
+  formats are public byte layouts.
+- Other formats (PNG/JPEG/...) go through Pillow when it is importable
+  (import-gated; absent in this container).
+- Anything else — and any corrupt payload — degrades to
+  ``decode_ok=false`` instead of failing the task (poison-pill isolation:
+  at 100 TB a handful of truncated blobs must never kill a stage).
+
+Audio/video feature extraction (ffmpeg/librosa) remains out of scope in
+this container; the frame-sampling plumbing would reuse the same kernel
+shape.
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -24,6 +35,9 @@ IMAGE_FEATURES_SCHEMA = (
     "mean_luma double, decode_ok boolean"
 )
 
+# ITU-R BT.601 luma weights — the standard RGB→luma projection
+_LUMA = np.array([0.299, 0.587, 0.114])
+
 
 def with_payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Typed metadata over an opaque binary column — pure built-ins."""
@@ -32,30 +46,91 @@ def with_payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def decode_image_kernel(payload: bytes, mime: str) -> dict:
-    """STUB — real deployments plug PIL/torchvision here.
+def _decode_bmp(payload: bytes) -> dict:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER), bottom-up rows padded
+    to 4 bytes — the public byte layout, no library needed."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    n_rows = abs(height)
+    n_ch = bpp // 8
+    stride = (width * n_ch + 3) & ~3
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=stride * n_rows,
+                           offset=data_offset)
+    rows = pixels.reshape(n_rows, stride)[:, : width * n_ch]
+    bgr = rows.reshape(n_rows, width, n_ch)[:, :, :3].astype(np.float64)
+    luma = bgr[:, :, ::-1] @ _LUMA  # stored BGR → RGB → luma
+    return {"width": width, "height": n_rows, "n_channels": n_ch,
+            "mean_luma": float(luma.mean() / 255.0), "decode_ok": True}
 
-    Deterministic fake: derives pseudo-dimensions from the payload bytes so
-    the downstream dataflow (schema, grouping, filters) is exercised
-    end-to-end without an image library.
-    """
-    if not mime.startswith(("image/", "text/")):
-        raise NotImplementedError(f"no decoder for mime {mime!r} in this build")
-    n = len(payload)
-    return {
-        "width": 16 + (n % 64),
-        "height": 16 + ((n // 64) % 64),
-        "n_channels": 3,
-        "mean_luma": float(sum(payload[:256]) % 256) / 255.0 if n else 0.0,
-        "decode_ok": True,
-    }
+
+def _decode_pnm(payload: bytes) -> dict:
+    """Binary PPM (P6, RGB) / PGM (P5, grayscale)."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM")
+    # header: magic, width, height, maxval — ASCII tokens, '#' comments
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PNM unsupported")
+    n_ch = 3 if magic == b"P6" else 1
+    n = width * height * n_ch
+    px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    if n_ch == 3:
+        luma = px.reshape(height, width, 3).astype(np.float64) @ _LUMA
+    else:
+        luma = px.astype(np.float64)
+    return {"width": width, "height": height, "n_channels": n_ch,
+            "mean_luma": float(luma.mean() / 255.0), "decode_ok": True}
+
+
+def decode_image_kernel(payload: bytes, mime: str) -> dict:
+    """Decode one image payload → feature dict. Raises on undecodable
+    input; the surrounding kernel degrades that to decode_ok=false."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # import-gated; absent in this container
+    except ImportError:
+        raise NotImplementedError(
+            f"no numpy decoder for this payload (mime {mime!r}) and Pillow "
+            f"is not installed"
+        )
+    img = Image.open(BytesIO(payload))
+    arr = np.asarray(img.convert("RGB"), dtype=np.float64)
+    return {"width": img.width, "height": img.height,
+            "n_channels": len(img.getbands()),
+            "mean_luma": float((arr @ _LUMA).mean() / 255.0), "decode_ok": True}
 
 
 def extract_image_features(df: DataFrame, id_col: str = "doc_id",
                            payload_col: str = "payload",
                            mime_col: str = "mime") -> DataFrame:
-    """The real UDF plumbing around the stubbed decoder: one Arrow batch in,
-    one feature frame out; a failed decode degrades to decode_ok=false
+    """The UDF plumbing around the decoders: one Arrow batch in, one
+    feature frame out; ANY failed decode degrades to decode_ok=false
     rather than failing the task (poison-pill isolation at scale)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -64,7 +139,7 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
             for doc_id, payload, mime in zip(pdf[id_col], pdf[payload_col], pdf[mime_col]):
                 try:
                     feats = decode_image_kernel(bytes(payload or b""), mime or "")
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 — poison-pill isolation
                     feats = {"width": None, "height": None, "n_channels": None,
                              "mean_luma": None, "decode_ok": False}
                 rows.append({"doc_id": doc_id, "mime": mime, **feats})

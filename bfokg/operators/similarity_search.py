@@ -99,14 +99,29 @@ def lsh_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """LSH-bucketed ANN: exact cosine, but only within the query's bucket.
-    Recall < 1 by construction; n_planes tunes bucket granularity."""
+    Recall < 1 by construction; n_planes tunes bucket granularity.
+
+    ``multi_probe=True`` additionally probes every Hamming-1 neighbor
+    bucket (each single plane-bit flipped): a near neighbor separated from
+    the query by exactly one hyperplane — the dominant miss mode — is then
+    still found, for (n_planes+1)× the probe volume on the QUERY side only
+    (the corpus is never duplicated)."""
+    qbucket = rademacher_bucket_col(F.col(vec_col), n_planes, seed)
+    if multi_probe:
+        probes = F.array(
+            qbucket, *[qbucket.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+        )
+        bucket_col = F.explode(probes).alias("bucket")
+    else:
+        bucket_col = qbucket.alias("bucket")
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         _norm(F.col(vec_col)).alias("qnorm"),
-        rademacher_bucket_col(F.col(vec_col), n_planes, seed).alias("bucket"),
+        bucket_col,
     )
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
@@ -114,7 +129,11 @@ def lsh_topk(
         _norm(F.col(vec_col)).alias("cnorm"),
         rademacher_bucket_col(F.col(vec_col), n_planes, seed).alias("bucket"),
     )
-    scored = q.join(c, "bucket").withColumn(
+    cand = q.join(c, "bucket")
+    if multi_probe:
+        # a pair can collide in several probes — count it once
+        cand = cand.dropDuplicates(["query_id", "vec_id"])
+    scored = cand.withColumn(
         "cosine", _dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

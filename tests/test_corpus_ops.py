@@ -173,6 +173,37 @@ def test_lsh_bucket_candidates_prunes(spark):
     assert cand < n * (n - 1) // 2 * 0.5
 
 
+def test_lsh_topk_multi_probe_improves_recall(spark):
+    """Multi-probe (Hamming-1 neighbor buckets) must find at least as many
+    true nearest neighbors as single-probe, and its candidate pool is a
+    superset (with k == corpus size the returned pair set must contain
+    every single-probe pair). Deterministic: seeded buckets."""
+    e = clustered_embs(spark)
+    q = e.withColumnRenamed("vec_id", "query_id")
+    n = e.count()
+
+    def pairs(multi):
+        out = lsh_topk(q.select(F.col("query_id"), "embedding"), e, k=n,
+                       n_planes=8, multi_probe=multi)
+        return {(r.query_id, r.vec_id) for r in out.collect()}
+
+    single, multi = pairs(False), pairs(True)
+    assert single <= multi
+    assert len(multi) > len(single)   # probing neighbors really adds pairs
+
+    # recall@1 of the true nearest (excluding self) via brute force
+    bf = {(r.query_id, r.vec_id)
+          for r in brute_force_topk(q, e, k=2).collect() if r.query_id != r.vec_id}
+
+    def top1_hits(multi):
+        out = lsh_topk(q.select("query_id", "embedding"), e, k=2,
+                       n_planes=8, multi_probe=multi)
+        got = {(r.query_id, r.vec_id) for r in out.collect() if r.query_id != r.vec_id}
+        return len(bf & got)
+
+    assert top1_hits(True) >= top1_hits(False)
+
+
 def test_no_jobs_at_operator_construction(spark):
     """Operator CONSTRUCTION must be plan-building only — no Spark job may
     launch until an action runs (VERDICT r1 item 8). Pinned via job-group
@@ -225,17 +256,52 @@ def test_textstats(spark):
     assert rows[1].fp != rows[3].fp
 
 
-def test_multimodal_plumbing(spark):
+def _bmp_bytes(arr):
+    """Minimal uncompressed 24-bit BMP encoder (test-side golden source).
+    arr: uint8 [h, w, 3] in RGB."""
+    import numpy as np
+    import struct
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    for row in arr[::-1]:                 # BMP stores bottom-up
+        for px in row:
+            img += bytes([px[2], px[1], px[0]])  # BGR
+        img += b"\x00" * (stride - w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return bytes(header + dib + img)
+
+
+def test_multimodal_decode_real_formats(spark):
+    """BMP and PGM payloads decode for REAL (numpy byte-layout parsers);
+    corrupt payloads and unsupported formats degrade to decode_ok=false."""
+    import numpy as np
+
     from bfokg.operators.multimodal import extract_image_features, with_payload_meta
 
-    d = docs(spark).select(
-        "doc_id", F.encode("text", "utf-8").alias("payload"),
-        F.when(F.col("doc_id") == 4, "video/mp4").otherwise("image/png").alias("mime"),
-    )
+    rgb = np.zeros((4, 5, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 255                       # pure red
+    bmp = _bmp_bytes(rgb)
+    gray = bytes(range(16))
+    pgm = b"P5 4 4 255\n" + gray
+    rows = [
+        (1, bmp, "image/bmp"),
+        (2, pgm, "image/x-portable-graymap"),
+        (3, b"not an image at all", "image/png"),
+        (4, b"\x00\x01\x02", "video/mp4"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
     meta = with_payload_meta(d)
     r1 = meta.where(F.col("doc_id") == 1).first()
-    assert r1.n_bytes == len("the quick brown fox jumps over the lazy dog")
-    assert len(r1.payload_sha) == 64
+    assert r1.n_bytes == len(bmp) and len(r1.payload_sha) == 64
     feats = {r.doc_id: r for r in extract_image_features(meta).collect()}
-    assert feats[1].decode_ok and feats[1].width > 0
-    assert not feats[4].decode_ok        # unsupported mime degrades, not fails
+    b = feats[1]
+    assert b.decode_ok and (b.width, b.height, b.n_channels) == (5, 4, 3)
+    assert abs(b.mean_luma - 0.299) < 1e-9   # pure red → BT.601 luma 0.299
+    g = feats[2]
+    assert g.decode_ok and (g.width, g.height, g.n_channels) == (4, 4, 1)
+    assert abs(g.mean_luma - (sum(range(16)) / 16) / 255.0) < 1e-9
+    assert not feats[3].decode_ok            # corrupt payload degrades
+    assert not feats[4].decode_ok            # unsupported format degrades

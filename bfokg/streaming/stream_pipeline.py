@@ -56,6 +56,64 @@ def run_stream_to_memory(spark: SparkSession, source_dir: str, name: str = "edge
     return q
 
 
+def stream_windowed_turns(
+    spark: SparkSession,
+    source_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Watermarked event-time windowed aggregation: turns per
+    (window, role). The canonical late-data shape — rows whose event time
+    falls more than ``watermark`` behind the stream's max seen event time
+    are DROPPED (their window's state has been finalized and evicted); on
+    a real cluster this is what bounds state-store size at 10^12-turn
+    scale. Update output mode: each micro-batch emits refreshed counts for
+    the windows it touched; the last emit per window is the answer
+    (pinned against the batch equivalent, minus dropped-late rows, in
+    tests/test_entry_and_streaming.py)."""
+    reader = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    transcripts = reader.parquet(source_dir)
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
+def run_windowed_turns_to_memory(
+    spark: SparkSession,
+    source_dir: str,
+    name: str = "windowed_turns_stream",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+):
+    """Drain the windowed aggregation (availableNow) into a memory sink."""
+    q = (
+        stream_windowed_turns(spark, source_dir, window, watermark,
+                              max_files_per_trigger)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 # ------------------- custom stateful operator: sessionization -------------
 
 CONV_STATS_SCHEMA = (

@@ -50,6 +50,82 @@ def test_streaming_edges_match_batch(spark):
     assert got == expected
 
 
+def test_windowed_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark + event-time windowed agg (the late-data contract): a row
+    arriving a second micro-batch later with event time beyond the
+    watermark horizon is DROPPED — its finalized window keeps the on-time
+    count — while fresh rows aggregate normally. Batch over the same files
+    counts the late row, pinning the difference to watermark semantics."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bfokg.streaming.stream_pipeline import run_windowed_turns_to_memory
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+
+    def table(rows):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array(["t"] * len(rows), pa.string()),
+                "tool": pa.array([""] * len(rows), pa.string()),
+                "ts": pa.array(
+                    [base + timedelta(minutes=r[3]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # batch 0: on-time rows (max event +29min → watermark becomes +19min)
+    # batch 1: fresh row at +40min — the minute-0 window's state gets
+    #          EVICTED at this batch's end (update-mode eviction lags the
+    #          watermark by one batch: state cleanup runs with the batch's
+    #          own watermark, so the first batch after the advance evicts)
+    # batch 2: one LATE row at minute 0 (far below watermark +30) → DROPPED
+    #          plus a fresh row proving the batch still aggregates normally
+    pq.write_table(
+        table([("c1", 0, "user", 0), ("c1", 1, "user", 1), ("c2", 0, "user", 29)]),
+        src / "00.parquet")
+    pq.write_table(table([("c3", 1, "user", 40)]), src / "01.parquet")
+    pq.write_table(
+        table([("c4", 0, "user", 0), ("c4", 1, "assistant", 41)]),
+        src / "02.parquet")
+    for i, f in enumerate(["00.parquet", "01.parquet", "02.parquet"]):
+        os.utime(src / f, (1000000000 + i * 100,) * 2)
+
+    q = run_windowed_turns_to_memory(
+        spark, str(src), name="win_turns_test",
+        window="5 minutes", watermark="10 minutes", max_files_per_trigger=1,
+    )
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress for so in p.get("stateOperators", [])
+    )
+    assert dropped == 1                   # exactly the late row
+    got = {
+        (r.win_start.minute, r.role): r.n_turns
+        for r in spark.sql("SELECT * FROM win_turns_test").collect()
+    }
+    # on-time counts only: the late ('user', minute-0 window) row is absent
+    assert got[(0, "user")] == 2          # batch over all files would say 3
+    assert got[(25, "user")] == 1
+    assert got[(40, "user")] == 1 and got[(40, "assistant")] == 1
+    # cross-check: batch counts the late row — the delta IS the watermark
+    batch = (
+        spark.read.parquet(str(src))
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "role")
+        .count()
+    )
+    b = {(r.w.start.minute, r.role): r["count"] for r in batch.collect()}
+    assert b[(0, "user")] == 3
+
+
 def test_stateful_sessionization_matches_batch(spark):
     """applyInPandasWithState conversation rollup, drained one file per
     micro-batch (state must survive across batches), converges to the

@@ -304,6 +304,7 @@ def embedding_near_dups(
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
+    bucket_impl: str = "expr",
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column, built-ins only
     (F.aggregate/zip_with dot products — JVM-side, no Python).
@@ -328,7 +329,7 @@ def embedding_near_dups(
 
         cand = lsh_bucket_candidates(
             embeddings, n_planes=n_planes, n_tables=n_tables,
-            id_col=id_col, vec_col=vec_col, seed=seed,
+            id_col=id_col, vec_col=vec_col, seed=seed, impl=bucket_impl,
         )
         pairs = cand.join(a, "id_a").join(b, "id_b")
     else:

@@ -144,6 +144,56 @@ def lsh_topk(
     )
 
 
+def _kernel_buckets(
+    embeddings: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> DataFrame:
+    """(id, tbl, bucket) rows via one Arrow-batched numpy pass: ALL
+    n_tables × n_planes projections are a single [batch, dim] @ [dim, T·P]
+    matmul. Plane matrices are seeded Gaussians generated lazily per batch
+    from the observed vector length — no driver-side action, no per-row
+    hashing. The per-row cost is what matters at 10^9 rows: the JVM
+    expression variant pays n_tables·n_planes·dim xxhash64 calls per row
+    (~4k for the defaults at dim 64); this kernel pays one BLAS matmul
+    per batch."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if planes is None:
+                rng = np.random.RandomState(seed)
+                planes = rng.standard_normal((mat.shape[1], n_tables * n_planes))
+            bits = (mat @ planes) > 0  # [batch, T·P]
+            buckets = (
+                bits.reshape(len(pdf), n_tables, n_planes).astype(np.int64) @ weights
+            )  # [batch, T]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "bid": np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, "bid long, tbl int, bucket long"
+    )
+
+
 def lsh_bucket_candidates(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -151,6 +201,7 @@ def lsh_bucket_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    impl: str = "expr",
 ) -> DataFrame:
     """Candidate near-duplicate pairs by multi-table signed-projection LSH.
 
@@ -159,9 +210,18 @@ def lsh_bucket_candidates(
     table (OR-amplification). For a pair at angle θ the per-table collision
     probability is ≈ (1−θ/π)^n_planes, so the miss probability decays as
     (1−p)^n_tables — with the defaults, pairs at cosine ≥ 0.95 are missed
-    with probability < 1e-2 per table-set and the expression is
-    deterministic (xxhash64-seeded), so recall on a given dataset is fixed,
-    not a coin flip per run.
+    with probability < 1e-2 per table-set and both implementations are
+    deterministic (seeded), so recall on a given dataset is fixed, not a
+    coin flip per run.
+
+    ``impl="expr"`` (default): Rademacher projections as pure JVM
+    expressions — zero Python, plan-folded, DuckDB-free oracle-friendly;
+    per-row cost grows as n_tables·n_planes·dim hash calls.
+    ``impl="kernel"``: Arrow-batched numpy — all projections in one BLAS
+    matmul per batch; the cheap path at billion-row / high-dim scale.
+    Bucket assignments differ between impls (different projection
+    families); the candidate-set CONTRACT (recall for near pairs) is the
+    same and both are pinned in tests.
 
     Scale shape: explode to (id, table, bucket) — n_tables rows per vector —
     then self-join within (table, bucket) only. Shuffle is O(n·n_tables);
@@ -169,17 +229,22 @@ def lsh_bucket_candidates(
 
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    buckets = embeddings.select(
-        F.col(id_col).alias("bid"),
-        F.posexplode(
-            F.array(
-                *[
-                    rademacher_bucket_col(F.col(vec_col), n_planes, seed, table=t)
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tbl", "bucket"),
-    )
+    if impl == "kernel":
+        buckets = _kernel_buckets(
+            embeddings, n_planes, n_tables, id_col, vec_col, seed
+        )
+    else:
+        buckets = embeddings.select(
+            F.col(id_col).alias("bid"),
+            F.posexplode(
+                F.array(
+                    *[
+                        rademacher_bucket_col(F.col(vec_col), n_planes, seed, table=t)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tbl", "bucket"),
+        )
     return (
         buckets.alias("x")
         .join(buckets.alias("y"), ["tbl", "bucket"])

@@ -155,11 +155,13 @@ def test_embedding_lsh_bucket_recall(spark):
     not a per-run coin flip."""
     e = clustered_embs(spark)
     exact = {(r.id_a, r.id_b) for r in embedding_near_dups(e, 0.95).collect()}
-    buck = {(r.id_a, r.id_b) for r in
-            embedding_near_dups(e, 0.95, bucketed=True).collect()}
     assert len(exact) > 10          # the fixture really has near-dups
-    assert exact <= buck            # recall: no exact pair missed
-    assert buck <= exact            # verify stage kills false candidates
+    for impl in ("expr", "kernel"):
+        buck = {(r.id_a, r.id_b) for r in
+                embedding_near_dups(e, 0.95, bucketed=True,
+                                    bucket_impl=impl).collect()}
+        assert exact <= buck, impl  # recall: no exact pair missed
+        assert buck <= exact, impl  # verify stage kills false candidates
 
 
 def test_lsh_bucket_candidates_prunes(spark):

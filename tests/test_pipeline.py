@@ -96,6 +96,32 @@ def test_aho_corasick_matches_regex_semantics():
         assert [m for _s, m in ac.search(t)] == rx.findall(t), t
 
 
+def test_aho_corasick_property_matches_regex():
+    """Property pin: on random dictionaries and texts over a tiny alphabet
+    (maximizing overlaps/prefix chains), AhoCorasick.search == the
+    word-boundary alternation regex for every case hypothesis finds."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from bfokg.operators.linking import AhoCorasick, surface_pattern
+
+    word = st.text(alphabet="ab1", min_size=1, max_size=4)
+    phrase = st.lists(word, min_size=1, max_size=3).map(" ".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pats=st.lists(phrase, min_size=1, max_size=8, unique=True),
+        text=st.text(alphabet="ab1 .x-", min_size=0, max_size=40),
+    )
+    def check(pats, text):
+        ac = AhoCorasick(pats)
+        rx = re.compile(surface_pattern(pats))
+        assert [m for _s, m in ac.search(text)] == rx.findall(text), (pats, text)
+
+    check()
+
+
 def test_salted_join_agrees_with_broadcast(spark):
     df = _transcripts(spark)
     mentions = extract_mentions(df).persist()

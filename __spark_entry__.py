@@ -888,6 +888,373 @@ def q_doc_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMANTIC KERNEL itself as a hash-checked oracle (M1/M2/T1/P7):
+    top-1 BFO class per document with the TF-IDF encode → cosine →
+    (cos+1)/2 → argmax math replayed in DuckDB from inlined vocabulary /
+    idf / normalized-class-matrix VALUES. Both sides compute in float64
+    (VocabTfidfEncoder(dtype=float64) — production stays float32), so the
+    6-decimal-rounded confidences are bit-comparable."""
+    import numpy as np
+
+    from bfokg.functions.encoders import VocabTfidfEncoder
+    from bfokg.operators.semantic import class_texts, classify_semantic
+
+    enc = VocabTfidfEncoder([r[2] for r in class_texts()], dtype=np.float64)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    return classify_semantic(docs, encoder=enc, top_k=1).select(
+        F.col("entity_id").cast("long").alias("doc_id"),
+        "class_uri",
+        "class_label",
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+def _sql_semantic_topk(src_sql: str, id_name: str, k: int,
+                       with_rank: bool = False, kind: str = "class",
+                       conf_mode: str = "cosine") -> str:
+    """Generic SQL replay of the float64 scoring kernels over a source CTE
+    providing (id, text). Emits idf / normalized-matrix VALUES from the
+    same encoder object the Spark query uses. ``kind`` selects the class
+    matrix ("class" → semantic texts; "hypothesis" → zeroshot hypothesis
+    templates); ``conf_mode`` is "cosine" ((s+1)/2, P7) or "softmax"
+    (softmax of 10·cosine with max-subtraction — the zeroshot single-label
+    scorer, zeroshot.py)."""
+    import numpy as np
+
+    from bfokg.functions.encoders import VocabTfidfEncoder
+    from bfokg.operators.semantic import class_index, class_texts
+
+    enc = VocabTfidfEncoder([r[2] for r in class_texts()], dtype=np.float64)
+    if kind == "hypothesis":
+        from bfokg.operators.zeroshot import hypothesis_index
+
+        uris, labels, matrix = hypothesis_index(enc)
+    else:
+        uris, labels, matrix = class_index(enc)
+    idf_values = ",\n    ".join(
+        f"({_q(w)}, {float(enc.idf[j])!r})" for j, w in enumerate(enc.vocab)
+    )
+    cw_rows = []
+    for ci, (uri, label) in enumerate(zip(uris, labels)):
+        for j in np.nonzero(matrix[ci])[0]:
+            cw_rows.append(
+                f"({_q(str(uri))}, {_q(str(label))}, {_q(enc.vocab[int(j)])}, "
+                f"{float(matrix[ci, int(j)])!r})"
+            )
+    cw_values = ",\n    ".join(cw_rows)
+    rank_col = ",\n       CAST(rn AS INTEGER) AS rank" if with_rank else ""
+    if conf_mode == "softmax":
+        conf_cte = """
+zmax AS (
+  SELECT id, class_uri, class_label, score * 10.0 AS z,
+         max(score * 10.0) OVER (PARTITION BY id) AS zm
+  FROM scored
+),
+conf AS (
+  SELECT id, class_uri, class_label,
+         exp(z - zm) / sum(exp(z - zm)) OVER (PARTITION BY id) AS confidence
+  FROM zmax
+)"""
+    else:
+        conf_cte = """
+conf AS (
+  SELECT id, class_uri, class_label, (score + 1.0) / 2.0 AS confidence
+  FROM scored
+)"""
+    return f"""
+WITH src AS ({src_sql}),
+idf(word, idf) AS (VALUES
+    {idf_values}),
+cw(class_uri, class_label, word, w) AS (VALUES
+    {cw_values}),
+classes AS (SELECT DISTINCT class_uri, class_label FROM cw),
+tok AS (
+  SELECT id, t AS word, count(*) AS cnt
+  FROM src, unnest(regexp_extract_all(lower(text), '[a-z0-9_-]+')) AS u(t)
+  GROUP BY id, t
+),
+comp AS (
+  SELECT t.id, t.word, t.cnt * i.idf AS c
+  FROM tok t JOIN idf i ON t.word = i.word
+),
+nrm AS (SELECT id, sqrt(sum(c * c)) AS nrm FROM comp GROUP BY id),
+dots AS (
+  SELECT c.id, w.class_uri, sum(c.c * w.w) AS dot
+  FROM comp c JOIN cw w ON c.word = w.word
+  GROUP BY c.id, w.class_uri
+),
+scored AS (
+  SELECT s.id, cl.class_uri, cl.class_label,
+         coalesce(dt.dot / nullif(n.nrm, 0), 0.0) AS score
+  FROM src s
+  CROSS JOIN classes cl
+  LEFT JOIN nrm n ON n.id = s.id
+  LEFT JOIN dots dt ON dt.id = s.id AND dt.class_uri = cl.class_uri
+),{conf_cte}
+SELECT id AS {id_name}, class_uri, class_label,
+       round(confidence, 6) AS confidence{rank_col}
+FROM (SELECT *, row_number() OVER (PARTITION BY id
+                                   ORDER BY confidence DESC, class_uri ASC) AS rn
+      FROM conf)
+WHERE rn <= {k}
+"""
+
+
+def _sql_doc_semantic_exact() -> str:
+    return _sql_semantic_topk(
+        "SELECT doc_id AS id, text FROM documents", "doc_id", 1
+    )
+
+
+def q_semantic_matches_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture semantic classifier (top-3, P7 math + T1 tiebreak) as a
+    hash-checked oracle — float64 twin of q_semantic_matches."""
+    import numpy as np
+
+    from bfokg.functions.encoders import VocabTfidfEncoder
+    from bfokg.operators.semantic import class_texts, classify_semantic
+
+    enc = VocabTfidfEncoder([r[2] for r in class_texts()], dtype=np.float64)
+    ents = with_entity_text(entities_df(spark, include_micro=True))
+    return classify_semantic(ents, encoder=enc, top_k=3).select(
+        "entity_id", "class_uri", "class_label",
+        F.round("confidence", 6).alias("confidence"), "rank",
+    )
+
+
+def _sql_semantic_matches_exact() -> str:
+    src = f"""
+  WITH fixtures(entity_id, label, description, n_aliases) AS (VALUES
+      {_fixtures_values()})
+  SELECT entity_id AS id, label || ': ' || description AS text FROM fixtures
+"""
+    return _sql_semantic_topk(src, "entity_id", 3, with_rank=True)
+
+
+def q_cascade_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL CASCADE as a hash-checked oracle (C1): rule_based stage
+    (claim short-circuit + keyword scoring, threshold 0.90) then the
+    float64 semantic stage on the residue. With semantic always returning
+    results, the reference's last-non-empty fallback (hybrid.py:437-440)
+    makes the answer: rule top-k for rule-accepted entities, semantic
+    top-k for everyone else — exactly what the SQL replays. rank-1 rows
+    (the entity→BFO assignment)."""
+    import numpy as np
+
+    from bfokg.functions.encoders import VocabTfidfEncoder
+    from bfokg.operators.semantic import class_texts, classify_semantic
+    from bfokg.operators.strategies import cascade
+    from bfokg.plans.pipeline import default_classifiers
+
+    enc = VocabTfidfEncoder([r[2] for r in class_texts()], dtype=np.float64)
+    clf = default_classifiers(spark)
+    clf["semantic"] = lambda df, k: classify_semantic(df, encoder=enc, top_k=k)
+    ents = with_entity_text(entities_df(spark, include_micro=True))
+    matches, _trace = cascade(ents, clf, top_k=3)
+    return matches.where(F.col("rank") == 1).select(
+        "entity_id", "class_uri", "class_label",
+        F.round("confidence", 6).alias("confidence"), "source",
+    )
+
+
+def _sql_cascade_exact() -> str:
+    sem_sql = _sql_semantic_matches_exact()
+    return f"""
+WITH rulep AS ({SQL_RULE_BASED}),
+sem AS ({sem_sql}),
+acc1 AS (SELECT entity_id FROM rulep WHERE rank = 1 AND confidence >= 0.90),
+final AS (
+  SELECT r.entity_id, r.class_uri, r.class_label, r.confidence, r.source, r.rank
+  FROM rulep r JOIN acc1 a USING (entity_id)
+  UNION ALL
+  SELECT s.entity_id, s.class_uri, s.class_label, s.confidence,
+         'semantic' AS source, s.rank
+  FROM sem s WHERE s.entity_id NOT IN (SELECT entity_id FROM acc1)
+)
+SELECT entity_id, class_uri, class_label,
+       round(confidence, 6) AS confidence, source
+FROM final WHERE rank = 1
+"""
+
+
+def q_hierarchical_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HIERARCHICAL WALK as a hash-checked oracle (C5): float64 twin of
+    q_hierarchical. The DuckDB side replays the whole machine — the
+    subtree-smoothed class matrix (inlined VALUES), (cos+1)/2 scoring, and
+    a recursive CTE that descends the 35-node tree applying the four stop
+    rules (LEAF_NODE / LOW_CONFIDENCE / CONFIDENCE_DROP with the
+    root-only 0.50 shallow threshold / MAX_DEPTH) with the argmax
+    (conf DESC, uri ASC) tiebreak."""
+    import numpy as np
+
+    from bfokg.functions.encoders import VocabTfidfEncoder
+    from bfokg.operators.hierarchy import classify_hierarchical
+    from bfokg.operators.semantic import class_texts
+
+    enc = VocabTfidfEncoder([r[2] for r in class_texts()], dtype=np.float64)
+    ents = with_entity_text(entities_df(spark))
+    out = classify_hierarchical(ents, encoder=enc)
+    return out.select(
+        "entity_id", "class_uri", "class_label",
+        F.round("confidence", 6).alias("confidence"),
+        "stop_reason", "depth",
+        F.array_join(
+            F.transform("path", lambda p: p["class_label"]), ">"
+        ).alias("path_str"),
+    )
+
+
+def _sql_hierarchical_exact() -> str:
+    import numpy as np
+
+    from bfokg.functions.encoders import VocabTfidfEncoder
+    from bfokg.operators.semantic import class_index, class_texts
+    from bfokg.ontology import ROOT_URI
+
+    enc = VocabTfidfEncoder([r[2] for r in class_texts()], dtype=np.float64)
+    uris, labels, matrix = class_index(enc, subtree_smoothing=True)
+    idf_values = ",\n    ".join(
+        f"({_q(w)}, {float(enc.idf[j])!r})" for j, w in enumerate(enc.vocab)
+    )
+    cw_rows = []
+    for ci, (uri, label) in enumerate(zip(uris, labels)):
+        for j in np.nonzero(matrix[ci])[0]:
+            cw_rows.append(
+                f"({_q(str(uri))}, {_q(str(label))}, {_q(enc.vocab[int(j)])}, "
+                f"{float(matrix[ci, int(j)])!r})"
+            )
+    fixtures_only = ",\n    ".join(
+        f"({_q(e)}, {_q(l)}, {_q(d)})" for e, l, d, _a, _gt in _FIXTURES
+    )
+    return f"""
+WITH RECURSIVE
+src AS (
+  WITH fixtures(entity_id, label, description) AS (VALUES
+      {fixtures_only})
+  SELECT entity_id AS id, label || ': ' || description AS text FROM fixtures
+),
+idf(word, idf) AS (VALUES
+    {idf_values}),
+cw(class_uri, class_label, word, w) AS (VALUES
+    {",".join(cw_rows)}),
+classes AS (SELECT DISTINCT class_uri, class_label FROM cw),
+children(child_uri, parent_uri) AS (VALUES
+    {_edges_values()}),
+tok AS (
+  SELECT id, t AS word, count(*) AS cnt
+  FROM src, unnest(regexp_extract_all(lower(text), '[a-z0-9_-]+')) AS u(t)
+  GROUP BY id, t
+),
+comp AS (
+  SELECT t.id, t.word, t.cnt * i.idf AS c
+  FROM tok t JOIN idf i ON t.word = i.word
+),
+nrm AS (SELECT id, sqrt(sum(c * c)) AS nrm FROM comp GROUP BY id),
+dots AS (
+  SELECT c.id, w.class_uri, sum(c.c * w.w) AS dot
+  FROM comp c JOIN cw w ON c.word = w.word
+  GROUP BY c.id, w.class_uri
+),
+conf AS (
+  SELECT s.id, cl.class_uri, cl.class_label,
+         (coalesce(dt.dot / nullif(n.nrm, 0), 0.0) + 1.0) / 2.0 AS confidence
+  FROM src s
+  CROSS JOIN classes cl
+  LEFT JOIN nrm n ON n.id = s.id
+  LEFT JOIN dots dt ON dt.id = s.id AND dt.class_uri = cl.class_uri
+),
+best AS (
+  -- argmax child per (entity, parent): highest conf, uri ASC tiebreak
+  SELECT c.id, ch.parent_uri, ch.child_uri, cl.class_label AS child_label,
+         c.confidence AS child_conf
+  FROM conf c
+  JOIN children ch ON c.class_uri = ch.child_uri
+  JOIN classes cl ON cl.class_uri = ch.child_uri
+  WHERE NOT EXISTS (
+    SELECT 1 FROM conf c2 JOIN children ch2 ON c2.class_uri = ch2.child_uri
+    WHERE c2.id = c.id AND ch2.parent_uri = ch.parent_uri
+      AND (c2.confidence > c.confidence
+           OR (c2.confidence = c.confidence AND c2.class_uri < c.class_uri))
+  )
+),
+walk(id, cur_uri, cur_label, cur_conf, depth, path, stop) AS (
+  SELECT id, {_q(ROOT_URI)}, 'Entity', CAST(1.0 AS DOUBLE), 0, 'Entity',
+         CAST(NULL AS VARCHAR)
+  FROM src
+  UNION ALL
+  SELECT w.id,
+    CASE WHEN b.child_uri IS NULL OR b.child_conf < 0.5
+              OR w.cur_conf - b.child_conf >
+                 (CASE WHEN w.depth <= 0 THEN 0.5 ELSE 0.15 END)
+         THEN w.cur_uri ELSE b.child_uri END,
+    CASE WHEN b.child_uri IS NULL OR b.child_conf < 0.5
+              OR w.cur_conf - b.child_conf >
+                 (CASE WHEN w.depth <= 0 THEN 0.5 ELSE 0.15 END)
+         THEN w.cur_label ELSE b.child_label END,
+    CASE WHEN b.child_uri IS NULL OR b.child_conf < 0.5
+              OR w.cur_conf - b.child_conf >
+                 (CASE WHEN w.depth <= 0 THEN 0.5 ELSE 0.15 END)
+         THEN w.cur_conf ELSE b.child_conf END,
+    CASE WHEN b.child_uri IS NULL OR b.child_conf < 0.5
+              OR w.cur_conf - b.child_conf >
+                 (CASE WHEN w.depth <= 0 THEN 0.5 ELSE 0.15 END)
+         THEN w.depth ELSE w.depth + 1 END,
+    CASE WHEN b.child_uri IS NULL OR b.child_conf < 0.5
+              OR w.cur_conf - b.child_conf >
+                 (CASE WHEN w.depth <= 0 THEN 0.5 ELSE 0.15 END)
+         THEN w.path ELSE w.path || '>' || b.child_label END,
+    CASE WHEN b.child_uri IS NULL THEN 'LEAF_NODE'
+         WHEN b.child_conf < 0.5 THEN 'LOW_CONFIDENCE'
+         WHEN w.cur_conf - b.child_conf >
+              (CASE WHEN w.depth <= 0 THEN 0.5 ELSE 0.15 END)
+         THEN 'CONFIDENCE_DROP'
+         ELSE CAST(NULL AS VARCHAR) END
+  FROM walk w
+  LEFT JOIN best b ON b.id = w.id AND b.parent_uri = w.cur_uri
+  WHERE w.stop IS NULL AND w.depth < 7
+)
+SELECT id AS entity_id, cur_uri AS class_uri, cur_label AS class_label,
+       round(cur_conf, 6) AS confidence,
+       coalesce(stop, 'MAX_DEPTH') AS stop_reason, depth, path AS path_str
+FROM walk
+WHERE stop IS NOT NULL OR depth = 7
+"""
+
+
+def q_zeroshot_matches_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-shot scorer (M3/P8/P9: hypothesis templates + single-label
+    softmax of 10·cosine) as a hash-checked oracle — float64 twin of
+    q_zeroshot_matches."""
+    import numpy as np
+
+    from bfokg.functions.encoders import VocabTfidfEncoder
+    from bfokg.operators.semantic import class_texts
+    from bfokg.operators.zeroshot import classify_zeroshot
+
+    enc = VocabTfidfEncoder([r[2] for r in class_texts()], dtype=np.float64)
+    ents = with_entity_text(entities_df(spark))
+    return classify_zeroshot(ents, encoder=enc, top_k=3).select(
+        "entity_id", "class_uri", "class_label",
+        F.round("confidence", 6).alias("confidence"), "rank",
+    )
+
+
+def _sql_zeroshot_matches_exact() -> str:
+    fixtures_only = ",\n    ".join(
+        f"({_q(e)}, {_q(l)}, {_q(d)})" for e, l, d, _a, _gt in _FIXTURES
+    )
+    src = f"""
+  WITH fixtures(entity_id, label, description) AS (VALUES
+      {fixtures_only})
+  SELECT entity_id AS id, label || ': ' || description AS text FROM fixtures
+"""
+    return _sql_semantic_topk(src, "entity_id", 3, with_rank=True,
+                              kind="hypothesis", conf_mode="softmax")
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family): JVM-side
     zip_with dot product, cross join pruned by id ordering. Threshold 0.4
@@ -1662,6 +2029,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,                          # rows-only
         "doc_stats": q_doc_stats,
         "doc_semantic": q_doc_semantic,                # rows-only (kernel)
+        "doc_semantic_exact": q_doc_semantic_exact,    # kernel math, oracle
+        "semantic_matches_exact": q_semantic_matches_exact,  # top-3 kernel oracle
+        "zeroshot_matches_exact": q_zeroshot_matches_exact,  # softmax scorer oracle
+        "cascade_exact": q_cascade_exact,              # full cascade, oracle
+        "hierarchical_exact": q_hierarchical_exact,    # recursive-CTE walk oracle
         "doc_hierarchy": q_doc_hierarchy,              # rows-only (kernel)
         "doc_cascade": q_doc_cascade,                  # rows-only (SF-prop cascade)
         "embedding_topk": q_embedding_topk,
@@ -1699,6 +2071,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "kg_nodes_canon": _sql_kg_nodes_canon(),
         "eval_rule_accuracy": _sql_eval_rule_accuracy(),
+        "doc_semantic_exact": _sql_doc_semantic_exact(),
+        "semantic_matches_exact": _sql_semantic_matches_exact(),
+        "zeroshot_matches_exact": _sql_zeroshot_matches_exact(),
+        "cascade_exact": _sql_cascade_exact(),
+        "hierarchical_exact": _sql_hierarchical_exact(),
         "doc_stats": _sql_doc_stats(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,

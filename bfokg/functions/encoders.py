@@ -93,7 +93,11 @@ class VocabTfidfEncoder:
 
     name = "vocab_tfidf"
 
-    def __init__(self, corpus_texts):
+    def __init__(self, corpus_texts, dtype=np.float32):
+        """``dtype=np.float64`` exists for oracle queries that replay the
+        same math in SQL (double arithmetic on both sides makes rounded
+        confidences bit-comparable); the production default stays
+        float32."""
         import math
 
         docs = [_word_tokens(t or "") for t in corpus_texts]
@@ -102,16 +106,17 @@ class VocabTfidfEncoder:
         for d in docs:
             for w in set(d):
                 df[w] = df.get(w, 0) + 1
+        self.dtype = dtype
         self.vocab = sorted(df)
         self.index = {w: i for i, w in enumerate(self.vocab)}
         self.idf = np.array(
             [math.log((n_docs + 1) / (df[w] + 1)) + 1.0 for w in self.vocab],
-            dtype=np.float32,
+            dtype=dtype,
         )
         self.dim = len(self.vocab)
 
     def encode(self, texts) -> np.ndarray:
-        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        out = np.zeros((len(texts), self.dim), dtype=self.dtype)
         index, idf = self.index, self.idf
         for i, text in enumerate(texts):
             row = out[i]

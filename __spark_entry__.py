@@ -1828,7 +1828,10 @@ def q_embedding_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     both = embs.unionByName(pert)
-    pairs = embedding_near_dups(both, threshold=0.95, bucketed=True)
+    # expr bucketing explicitly: the SQL-replayable projection family for
+    # the DuckDB oracle; production default is bucket_impl="kernel"
+    pairs = embedding_near_dups(both, threshold=0.95, bucketed=True,
+                                bucket_impl="expr")
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 

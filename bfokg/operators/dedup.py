@@ -304,7 +304,7 @@ def embedding_near_dups(
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
-    bucket_impl: str = "expr",
+    bucket_impl: str = "kernel",
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column, built-ins only
     (F.aggregate/zip_with dot products — JVM-side, no Python).
@@ -315,7 +315,12 @@ def embedding_near_dups(
     signed-projection LSH, shuffle O(n·n_tables)) and only candidates pay
     the exact-cosine verify. Same output contract; recall < 1 in theory but
     ≈ 1 for genuinely-near pairs with the default table count (see the
-    candidate generator's docstring for the math)."""
+    candidate generator's docstring for the math).
+
+    ``bucket_impl`` defaults to ``"kernel"`` — one BLAS matmul per Arrow
+    batch, the right per-row cost at 10^9 rows. Pass ``"expr"`` for the
+    pure-JVM expression variant (plan-folded, SQL-replayable — the DuckDB
+    oracle queries use it)."""
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     e = embeddings.select(
         F.col(id_col).alias("vid"),

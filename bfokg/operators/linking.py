@@ -82,7 +82,10 @@ class AhoCorasick:
 
     ``search(text)`` reproduces the regex path's semantics exactly:
     case-insensitive (callers pass lowered text), word-boundary anchored
-    on both sides, greedy leftmost-longest, non-overlapping.
+    on both sides (true ``\\b`` semantics — a boundary is a word/non-word
+    TRANSITION, so patterns with non-word edge chars like ``-foo`` or
+    ``foo'`` anchor correctly too), greedy leftmost-longest,
+    non-overlapping.
     """
 
     def __init__(self, patterns: list[str]):
@@ -123,6 +126,7 @@ class AhoCorasick:
         """Greedy leftmost-longest non-overlapping matches with word
         boundaries; returns [(start, matched_text)]."""
         goto, fail, out = self.goto, self.fail, self.out
+        is_word = self._is_word
         n = len(text)
         raw: list[tuple[int, int]] = []  # (start, end), all boundary-valid
         state = 0
@@ -132,11 +136,19 @@ class AhoCorasick:
             state = goto[state].get(ch, 0)
             if out[state]:
                 end = j + 1
-                if end < n and self._is_word(text[end]):
+                # \b after the match: boundary = word/non-word transition
+                # between the match's LAST char (== ch for every pattern
+                # ending here) and the next char; at end-of-string the
+                # boundary exists only when the last char is a word char.
+                last_w = is_word(ch)
+                if not (last_w if end == n else (is_word(text[end]) != last_w)):
                     continue
                 for length in out[state]:
                     start = end - length
-                    if start > 0 and self._is_word(text[start - 1]):
+                    first_w = is_word(text[start])
+                    if not (
+                        first_w if start == 0 else (is_word(text[start - 1]) != first_w)
+                    ):
                         continue
                     raw.append((start, end))
         raw.sort(key=lambda m: (m[0], -(m[1] - m[0])))

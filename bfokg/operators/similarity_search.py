@@ -154,29 +154,41 @@ def _kernel_buckets(
 ) -> DataFrame:
     """(id, tbl, bucket) rows via one Arrow-batched numpy pass: ALL
     n_tables × n_planes projections are a single [batch, dim] @ [dim, T·P]
-    matmul. Plane matrices are seeded Gaussians generated lazily per batch
-    from the observed vector length — no driver-side action, no per-row
-    hashing. The per-row cost is what matters at 10^9 rows: the JVM
+    matmul. Plane matrices are seeded Gaussians generated lazily per
+    observed vector length (deterministic per dim — a dim change between
+    batches regenerates, it does not crash) — no driver-side action, no
+    per-row hashing. The per-row cost is what matters at 10^9 rows: the JVM
     expression variant pays n_tables·n_planes·dim xxhash64 calls per row
     (~4k for the defaults at dim 64); this kernel pays one BLAS matmul
-    per batch."""
+    per batch. Same contract as ``impl="expr"``: any id column type, any
+    (per-row-constant) vector length; a RAGGED batch (mixed lengths inside
+    one batch) raises a clear ValueError from both impls' caller."""
     from typing import Iterator
 
     import numpy as np
     import pandas as pd
 
     weights = (1 << np.arange(n_planes, dtype=np.int64))
+    id_type = embeddings.schema[id_col].dataType.simpleString()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes = None
+        planes: dict[int, np.ndarray] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
+            lens = {len(v) for v in pdf[vec_col]}
+            if len(lens) != 1:
+                raise ValueError(
+                    f"lsh_bucket_candidates(impl='kernel'): ragged vector "
+                    f"lengths within one batch ({sorted(lens)}); pad or "
+                    f"split by dim first"
+                )
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if planes is None:
+            dim = mat.shape[1]
+            if dim not in planes:
                 rng = np.random.RandomState(seed)
-                planes = rng.standard_normal((mat.shape[1], n_tables * n_planes))
-            bits = (mat @ planes) > 0  # [batch, T·P]
+                planes[dim] = rng.standard_normal((dim, n_tables * n_planes))
+            bits = (mat @ planes[dim]) > 0  # [batch, T·P]
             buckets = (
                 bits.reshape(len(pdf), n_tables, n_planes).astype(np.int64) @ weights
             )  # [batch, T]
@@ -190,7 +202,7 @@ def _kernel_buckets(
             )
 
     return embeddings.select(id_col, vec_col).mapInPandas(
-        kernel, "bid long, tbl int, bucket long"
+        kernel, f"bid {id_type}, tbl int, bucket long"
     )
 
 

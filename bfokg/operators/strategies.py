@@ -66,6 +66,11 @@ def cascade(
     Returns (matches, trace) — trace rows are
     (entity_id, stage_idx, classifier, top_prediction, confidence,
     threshold, decision) mirroring hybrid.py:409-415.
+
+    Both returned frames carry the SAME per-stage persisted intermediates
+    in their cleanup handles: call ``release_intermediates`` only after
+    BOTH have been consumed (releasing via one forces the other to
+    recompute its stages).
     """
     order = order or [n for n in CASCADE_ORDER if n in classifiers]
     thresholds = thresholds or CASCADE_THRESHOLDS
@@ -255,7 +260,11 @@ def tiered(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return attach_cleanup(out, routed)
+    # propagate cascade's per-stage persisted frames: _core() returned a new
+    # DataFrame without the handle, so pull it from cascade's own output
+    return attach_cleanup(
+        out, routed, *getattr(cascade_matches, "_bfokg_cached", ())
+    )
 
 
 def infer_parents(

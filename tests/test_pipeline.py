@@ -80,7 +80,8 @@ def test_aho_corasick_matches_regex_semantics():
     from bfokg.operators.linking import AhoCorasick, surface_pattern
 
     pats = ["sahara desert", "sahara", "desert", "ab", "abc", "tour",
-            "la tour eiffel", "x y z", "y"]
+            "la tour eiffel", "x y z", "y",
+            "-ab", "ab-", "d'or", "'quoted'"]      # non-word edge chars
     ac = AhoCorasick(pats)
     rx = re.compile(surface_pattern(pats))
     texts = [
@@ -91,6 +92,10 @@ def test_aho_corasick_matches_regex_semantics():
         "x y z y x",                               # overlap chain
         "xabc",                                    # leading boundary kills
         "", "   ", "ab",                           # degenerate
+        "x-ab y-ab- -ab",                          # \b before '-' needs word char
+        "mont d'or and d'or. 'quoted' too",        # apostrophe edges
+        "-ab",                                     # leading non-word at pos 0
+        "ab-",                                     # trailing non-word at EOS
     ]
     for t in texts:
         assert [m for _s, m in ac.search(t)] == rx.findall(t), t
@@ -106,13 +111,15 @@ def test_aho_corasick_property_matches_regex():
 
     from bfokg.operators.linking import AhoCorasick, surface_pattern
 
-    word = st.text(alphabet="ab1", min_size=1, max_size=4)
+    # '-' and "'" in the WORD alphabet too: patterns with non-word chars at
+    # their edges exercise the transition-based \b logic (ADVICE r2)
+    word = st.text(alphabet="ab1-'", min_size=1, max_size=4)
     phrase = st.lists(word, min_size=1, max_size=3).map(" ".join)
 
     @settings(max_examples=200, deadline=None)
     @given(
         pats=st.lists(phrase, min_size=1, max_size=8, unique=True),
-        text=st.text(alphabet="ab1 .x-", min_size=0, max_size=40),
+        text=st.text(alphabet="ab1 .x-'", min_size=0, max_size=40),
     )
     def check(pats, text):
         ac = AhoCorasick(pats)

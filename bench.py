@@ -82,6 +82,25 @@ def main():
             "triples_per_sec": round(counts["edges"] / edges_sec, 1) if edges_sec else None,
         },
     }
+
+    # sf1.0 leg (VERDICT r2 item 10): the sf0.1 rows are fixed-cost-
+    # dominated for half the queries; one 600k-turn row per round makes
+    # round-over-round comparison less noise-prone. Transcript-backed
+    # queries only (documents/embeddings parquet exist at sf<=0.1).
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        generate_transcripts(1.0)  # idempotent; excluded from timing
+        sf1_dir = "/root/testdata/sf1.0"  # only sf matters for these queries
+        sf1 = {}
+        for name in ("mentions", "edges"):
+            t0 = time.time()
+            n = qs[name](spark, sf1_dir).count()
+            sf1[name] = round(time.time() - t0, 3)
+            sf1[f"{name}_rows"] = n
+        sf1_turns = sf_to_n_turns(1.0)
+        sf1["n_turns"] = sf1_turns
+        sf1["turns_per_sec"] = round(sf1_turns / sf1["edges"], 1) if sf1["edges"] else None
+        result["extra"]["sf1"] = sf1
+
     print(json.dumps(result))
 
 

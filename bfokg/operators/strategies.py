@@ -52,6 +52,7 @@ def cascade(
     top_k: int = TOP_K_DEFAULT,
     order: list[str] | None = None,
     thresholds: dict[str, float] | None = None,
+    materialize: str = "lazy",
 ) -> tuple[DataFrame, DataFrame]:
     """C1 — staged early-exit cascade (hybrid.py:376-446).
 
@@ -71,6 +72,17 @@ def cascade(
     in their cleanup handles: call ``release_intermediates`` only after
     BOTH have been consumed (releasing via one forces the other to
     recompute its stages).
+
+    ``materialize``: ``"lazy"`` (default) persists each stage — NO Spark
+    job runs until the caller's first action (pinned by
+    test_no_jobs_at_operator_construction); ``"eager"`` reliably
+    localCheckpoints each stage at construction instead. Eager is
+    measurably faster END-TO-END for small entity sets (probe, 31
+    fixtures at local[32]: 3.4-3.7 s total vs 4.7-5.4 s lazy): the
+    truncated lineage spares the single consuming action from
+    re-planning every stage's full DAG, and the per-stage jobs are tiny.
+    Callers that will consume immediately (jobs, benches) should pass
+    eager; libraries composing further plans keep lazy.
     """
     order = order or [n for n in CASCADE_ORDER if n in classifiers]
     thresholds = thresholds or CASCADE_THRESHOLDS
@@ -83,14 +95,17 @@ def cascade(
     for stage_idx, name in enumerate(order):
         threshold = float(thresholds.get(name, CASCADE_DEFAULT_THRESHOLD))
         matches = classifiers[name](remaining, top_k)
-        # persist, NOT localCheckpoint: each stage's matches feed four
-        # consumers (top1/accepted/residual/trace) — persist dedups the
-        # compute lazily, while localCheckpoint(eager=False) + AQE
-        # materializes every shuffle stage AT CONSTRUCTION TIME (.rdd
-        # forces AQE stage execution) — measured ~13 driver jobs before an
-        # action was ever requested.
-        matches = _core(matches).persist()
-        cached.append(matches)
+        # Each stage's matches feed four consumers (top1/accepted/
+        # residual/trace). Lazy: persist dedups the compute without
+        # launching jobs at construction (localCheckpoint(eager=False) +
+        # AQE materializes every shuffle stage AT CONSTRUCTION — measured
+        # ~13 driver jobs before an action was ever requested). Eager:
+        # explicit localCheckpoint(eager=True) — see docstring.
+        if materialize == "eager":
+            matches = _core(matches).localCheckpoint(eager=True)
+        else:
+            matches = _core(matches).persist()
+            cached.append(matches)
         top1 = matches.where(F.col("rank") == 1).select(
             "entity_id",
             F.col("class_label").alias("top_prediction"),

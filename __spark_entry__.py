@@ -1337,6 +1337,61 @@ FROM clean
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM decode under the driver gate (audio twin of
+    q_image_features): every document's text becomes the sample stream of
+    an 8-bit mono 8 kHz WAV — a constant 44-byte RIFF header (sizes are
+    fixed at 256 samples, so the header is a literal) + the 256
+    ASCII-sanitized chars as unsigned samples — and the numpy RIFF parser
+    (multimodal._decode_wav) extracts rate/channels/duration/RMS/peak.
+    The oracle recomputes every feature from the same 256 characters in
+    DuckDB, so the byte-layout decoder itself is hash-checked."""
+    from bfokg.operators.multimodal import extract_audio_features
+
+    header = (
+        b"RIFF" + (36 + 256).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + b"data" + (256).to_bytes(4, "little")
+    )
+    body = F.rpad(
+        F.substring(F.regexp_replace("text", "[^ -~]", " "), 1, 256), 256, " "
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit(header), F.encode(body, "utf-8")).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )
+    return extract_audio_features(d).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        "decode_ok",
+    )
+
+
+SQL_AUDIO_FEATURES = """
+WITH clean AS (
+  SELECT doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', ' ', 'g'), 1, 256),
+              256, ' ') AS body
+  FROM documents)
+SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels, 256::BIGINT AS n_samples,
+       round(256.0 / 8000.0, 6) AS duration_sec,
+       round(sqrt(list_avg(list_transform(range(1, 257),
+                                          i -> pow((ascii(body[i]) - 128) / 128.0, 2)))),
+             6) AS rms,
+       round(list_max(list_transform(range(1, 257),
+                                     i -> abs((ascii(body[i]) - 128) / 128.0))),
+             6) AS peak,
+       TRUE AS decode_ok
+FROM clean
+"""
+
+
 # ------------------------- relational operator demos ----------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1790,7 +1845,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path of q_embedding_topk)."""
+    """LSH-bucketed ANN (scale path of q_embedding_topk).
+
+    Oracle-checked (VERDICT r2 item 5): the crc32 sign family makes the
+    bucket assignment itself SQL-replayable — the DuckDB oracle rebuilds
+    the ±1 projections from the recursive-CTE crc32 and reproduces the
+    exact bucket join, so the check covers the LSH structure (who probes
+    whom), not just the cosine math. Ranking is over the rounded cosine
+    (round_to=4) with the vec_id tiebreak on both sides; self matches
+    occupy their rank (usually 1) and are filtered after, exactly as the
+    SQL does."""
     from bfokg.operators.similarity_search import lsh_topk
 
     embs = _embs(spark, sf_dir).select(
@@ -1799,10 +1863,58 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embs.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_topk(queries, embs, k=3, n_planes=6)
+    out = lsh_topk(queries, embs, k=3, n_planes=6, hash_fn="crc32", round_to=4)
     return out.where(F.col("query_id") != F.col("vec_id")).select(
-        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+        "query_id", "vec_id", "cosine", "rank"
     )
+
+
+def _sql_embedding_lsh_topk(n_planes: int = 6, seed: int = 42, table: int = 0) -> str:
+    """DuckDB oracle for q_embedding_lsh_topk — the FULL LSH structure
+    restated in SQL: crc32(f"lsh:{seed}:{table}:{plane}:{i}") % 2 picks the
+    ±1 Rademacher signs (identical to Spark's F.crc32 of the same string),
+    bit_p = (Σ v[i]·sign) > 0, bucket = Σ bit_p << p; then exact cosine
+    top-3 within the query's bucket, ranked over round(cosine, 4) with the
+    vec_id tiebreak, self filtered after ranking."""
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dims AS (SELECT DISTINCT i FROM e, unnest(range(len(emb))) AS u(i)),
+pi AS (
+  SELECT p.p, d.i, 'lsh:{seed}:{table}:' || p.p || ':' || d.i AS s
+  FROM range({n_planes}) p(p), dims d
+),
+strs AS (SELECT DISTINCT s FROM pi),
+{_sql_crc32_ctes('strs')},
+signs AS (
+  SELECT pi.p, list(CASE WHEN c.crc % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY pi.i) AS sv
+  FROM pi JOIN crc32_out c ON c.s = pi.s
+  GROUP BY pi.p
+),
+bucketed AS (
+  SELECT e.vec_id, e.emb,
+         sum(CASE WHEN list_dot_product(e.emb, s.sv) > 0
+                  THEN (1 << s.p) ELSE 0 END) AS bucket
+  FROM e CROSS JOIN signs s
+  GROUP BY e.vec_id, e.emb
+),
+q AS (SELECT vec_id AS query_id, emb AS qvec, bucket FROM bucketed WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_dot_product(q.qvec, b.emb)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+  FROM q JOIN bucketed b ON b.bucket = q.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked WHERE rank <= 3 AND vec_id <> query_id
+"""
 
 
 def q_embedding_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2041,10 +2153,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cascade": q_doc_cascade,                  # rows-only (SF-prop cascade)
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
-        "embedding_lsh_topk": q_embedding_lsh_topk,    # rows-only
+        "embedding_lsh_topk": q_embedding_lsh_topk,    # crc32-replayed buckets
         "embedding_lsh_dups": q_embedding_lsh_dups,    # bucketed dedup path
         "multimodal_meta": q_multimodal_meta,
         "image_features": q_image_features,            # real PNM decode, oracle
+        "audio_features": q_audio_features,            # real WAV PCM decode, oracle
         # relational operator demos
         "pricing_summary": q_pricing_summary,
         "customer_nation_revenue": q_customer_nation_revenue,
@@ -2082,9 +2195,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": _sql_doc_stats(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "embedding_lsh_topk": _sql_embedding_lsh_topk(),
         "embedding_lsh_dups": SQL_EMBEDDING_LSH_DUPS,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "image_features": SQL_IMAGE_FEATURES,
+        "audio_features": SQL_AUDIO_FEATURES,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "customer_nation_revenue": SQL_CUSTOMER_NATION_REVENUE,
         "events_topn": SQL_EVENTS_TOPN,

@@ -60,10 +60,18 @@ def main():
     # warm the JVM/Python workers once (tiny job, not timed)
     spark.range(1000).count()
 
+    from bfokg.util import release_intermediates
+
     for name in BENCH_QUERIES:
         t0 = time.time()
-        counts[name] = qs[name](spark, SF_DIR).count()
+        df = qs[name](spark, SF_DIR)
+        counts[name] = df.count()
         timings[name] = round(time.time() - t0, 3)
+        # release operator caches after the consuming action (outside the
+        # timed window): queries are independent, so any block left cached
+        # is dead weight that skews later queries' memory headroom
+        release_intermediates(df)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     n_turns = sf_to_n_turns(sf)

@@ -14,9 +14,11 @@ Decoders, in order of preference:
   ``decode_ok=false`` instead of failing the task (poison-pill isolation:
   at 100 TB a handful of truncated blobs must never kill a stage).
 
-Audio/video feature extraction (ffmpeg/librosa) remains out of scope in
-this container; the frame-sampling plumbing would reuse the same kernel
-shape.
+Audio: **WAV PCM** (8-bit unsigned / 16-bit signed, the public RIFF byte
+layout) is decoded for real with pure numpy — sample rate, channels,
+duration, RMS and peak level (see ``extract_audio_features``). Compressed
+audio (mp3/ogg) and video (ffmpeg) remain out of scope in this container;
+the frame-sampling plumbing would reuse the same kernel shape.
 """
 
 from __future__ import annotations
@@ -147,4 +149,82 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, payload_col, mime_col).mapInPandas(
         kernel, IMAGE_FEATURES_SCHEMA
+    )
+
+
+# ------------------------------------------------------------- audio ------
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, mime string, sample_rate int, n_channels int, "
+    "n_samples long, duration_sec double, rms double, peak double, "
+    "decode_ok boolean"
+)
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """WAV PCM (RIFF little-endian, the public byte layout — no library):
+    walks the chunk list for ``fmt `` and ``data``, decodes 8-bit unsigned
+    or 16-bit signed PCM with numpy, and reports rate/channels/duration
+    plus normalized RMS and peak level in [-1, 1]."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 8:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+        samples = raw.astype(np.float64) / 32768.0
+    n_frames = len(samples) // n_channels
+    samples = samples[: n_frames * n_channels]
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_samples": n_frames,
+        "duration_sec": n_frames / sample_rate if sample_rate else 0.0,
+        "rms": float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0,
+        "peak": float(np.abs(samples).max()) if len(samples) else 0.0,
+        "decode_ok": True,
+    }
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id",
+                           payload_col: str = "payload",
+                           mime_col: str = "mime") -> DataFrame:
+    """Audio twin of ``extract_image_features``: same Arrow-batched kernel
+    shape, same poison-pill isolation — a corrupt or non-WAV payload
+    yields decode_ok=false, never a failed task."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, mime in zip(pdf[id_col], pdf[payload_col], pdf[mime_col]):
+                try:
+                    feats = _decode_wav(bytes(payload or b""))
+                except Exception:  # noqa: BLE001 — poison-pill isolation
+                    feats = {"sample_rate": None, "n_channels": None,
+                             "n_samples": None, "duration_sec": None,
+                             "rms": None, "peak": None, "decode_ok": False}
+                rows.append({"doc_id": doc_id, "mime": mime, **feats})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col, mime_col).mapInPandas(
+        kernel, AUDIO_FEATURES_SCHEMA
     )

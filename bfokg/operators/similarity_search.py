@@ -61,20 +61,34 @@ def brute_force_topk(
 
 
 def rademacher_bucket_col(vec_col, n_planes: int = 8, seed: int = 42,
-                          table: int = 0) -> Column:
+                          table: int = 0, hash_fn: str = "xxhash64") -> Column:
     """Signed-projection bucket id as a pure JVM expression.
 
     Plane j's projection vector is the Rademacher pattern
-    r[i] = ±1 chosen by xxhash64(seed, table, j, i); bit_j = (Σ v[i]·r[i]) > 0;
+    r[i] = ±1 chosen by hash(seed, table, j, i); bit_j = (Σ v[i]·r[i]) > 0;
     bucket = Σ bit_j << j. No Python at execution, no dim needed up front —
     the element index comes from zip_with against sequence(0, size-1), so
     the same expression works for any (even ragged) vector length.
+
+    ``hash_fn``: ``"xxhash64"`` (default — cheapest JVM hash) or
+    ``"crc32"`` (hashes the string ``lsh:<seed>:<table>:<plane>:<i>``) —
+    the crc32 family exists so an external engine without xxhash64 can
+    replay the EXACT bucket assignment (the DuckDB oracle for
+    ``embedding_lsh_topk`` rebuilds it from a recursive-CTE crc32).
     """
     idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
 
     def _signer(plane):
         def sign(v, i):
-            h = F.xxhash64(F.lit(seed), F.lit(table), F.lit(plane), i)
+            if hash_fn == "crc32":
+                h = F.crc32(
+                    F.concat_ws(
+                        ":", F.lit("lsh"), F.lit(seed), F.lit(table),
+                        F.lit(plane), i.cast("string"),
+                    ).cast("binary")
+                )
+            else:
+                h = F.xxhash64(F.lit(seed), F.lit(table), F.lit(plane), i)
             return F.when(F.pmod(h, F.lit(2)) == 0, v).otherwise(-v)
 
         return sign
@@ -100,6 +114,8 @@ def lsh_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     multi_probe: bool = False,
+    hash_fn: str = "xxhash64",
+    round_to: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: exact cosine, but only within the query's bucket.
     Recall < 1 by construction; n_planes tunes bucket granularity.
@@ -108,8 +124,13 @@ def lsh_topk(
     bucket (each single plane-bit flipped): a near neighbor separated from
     the query by exactly one hyperplane — the dominant miss mode — is then
     still found, for (n_planes+1)× the probe volume on the QUERY side only
-    (the corpus is never duplicated)."""
-    qbucket = rademacher_bucket_col(F.col(vec_col), n_planes, seed)
+    (the corpus is never duplicated).
+
+    ``round_to``: when set, rank over the cosine ROUNDED to that many
+    decimals (with the vec_id tiebreak) so an external engine replaying
+    the query ranks identically regardless of last-ulp float noise.
+    ``hash_fn`` is forwarded to ``rademacher_bucket_col``."""
+    qbucket = rademacher_bucket_col(F.col(vec_col), n_planes, seed, hash_fn=hash_fn)
     if multi_probe:
         probes = F.array(
             qbucket, *[qbucket.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
@@ -127,15 +148,18 @@ def lsh_topk(
         F.col(corpus_id).alias("vec_id"),
         F.col(vec_col).alias("cvec"),
         _norm(F.col(vec_col)).alias("cnorm"),
-        rademacher_bucket_col(F.col(vec_col), n_planes, seed).alias("bucket"),
+        rademacher_bucket_col(F.col(vec_col), n_planes, seed, hash_fn=hash_fn).alias(
+            "bucket"
+        ),
     )
     cand = q.join(c, "bucket")
     if multi_probe:
         # a pair can collide in several probes — count it once
         cand = cand.dropDuplicates(["query_id", "vec_id"])
-    scored = cand.withColumn(
-        "cosine", _dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
-    )
+    cosine = _dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
+    if round_to is not None:
+        cosine = F.round(cosine, round_to)
+    scored = cand.withColumn("cosine", cosine)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

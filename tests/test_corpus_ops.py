@@ -307,3 +307,54 @@ def test_multimodal_decode_real_formats(spark):
     assert abs(g.mean_luma - (sum(range(16)) / 16) / 255.0) < 1e-9
     assert not feats[3].decode_ok            # corrupt payload degrades
     assert not feats[4].decode_ok            # unsupported format degrades
+
+
+def _wav_bytes(samples, rate=44100, bits=16, channels=1):
+    """Minimal PCM WAV encoder (test-side golden source). samples: list of
+    ints — int16 for bits=16, uint8 for bits=8, interleaved if stereo."""
+    import struct
+
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes(samples)
+    block = channels * bits // 8
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                   rate * block, block, bits)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def test_audio_decode_real_wav(spark):
+    """WAV PCM payloads decode for REAL (numpy RIFF parser): 16-bit mono,
+    8-bit, and stereo frame counting; corrupt payloads degrade."""
+    import math
+
+    from bfokg.operators.multimodal import extract_audio_features
+
+    full = 32768
+    mono16 = _wav_bytes([0, full // 2, -full // 2, 0], rate=8000)
+    eight = _wav_bytes([128, 255, 0, 128], rate=4000, bits=8)
+    stereo = _wav_bytes([100, -100] * 6, rate=16000, channels=2)
+    rows = [
+        (1, mono16, "audio/wav"),
+        (2, eight, "audio/wav"),
+        (3, stereo, "audio/wav"),
+        (4, b"RIFFnope", "audio/wav"),
+        (5, b"\x00\x01", "video/mp4"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
+    feats = {r.doc_id: r for r in extract_audio_features(d).collect()}
+    m = feats[1]
+    assert m.decode_ok and m.sample_rate == 8000 and m.n_channels == 1
+    assert m.n_samples == 4 and abs(m.duration_sec - 4 / 8000) < 1e-12
+    assert abs(m.rms - math.sqrt((0 + 0.25 + 0.25 + 0) / 4)) < 1e-9
+    assert abs(m.peak - 0.5) < 1e-9
+    e = feats[2]
+    assert e.decode_ok and e.sample_rate == 4000 and e.n_samples == 4
+    assert abs(e.peak - 1.0) < 1e-9                # sample 0 → (0-128)/128 = -1.0
+    s = feats[3]
+    assert s.decode_ok and s.n_channels == 2 and s.n_samples == 6  # frames, not samples
+    assert not feats[4].decode_ok
+    assert not feats[5].decode_ok

@@ -113,28 +113,42 @@ def lsh_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    multi_probe: bool = False,
+    multi_probe: bool | int = False,
     hash_fn: str = "xxhash64",
     round_to: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: exact cosine, but only within the query's bucket.
     Recall < 1 by construction; n_planes tunes bucket granularity.
 
-    ``multi_probe=True`` additionally probes every Hamming-1 neighbor
-    bucket (each single plane-bit flipped): a near neighbor separated from
-    the query by exactly one hyperplane — the dominant miss mode — is then
-    still found, for (n_planes+1)× the probe volume on the QUERY side only
-    (the corpus is never duplicated).
+    ``multi_probe`` is the probe RADIUS (bool accepted for back-compat:
+    True == 1). Radius r probes every bucket within Hamming distance ≤ r
+    of the query's bucket — a near neighbor separated from the query by
+    one (r=1) or two (r=2) hyperplanes, the dominant miss modes, is then
+    still found. Probe volume multiplies on the QUERY side only (the
+    corpus is never duplicated): 1 + n_planes buckets at r=1,
+    + C(n_planes, 2) more at r=2. Measured recall-vs-cost on a 2k-vector
+    clustered fixture is tabulated in BENCH/ANN.md and pinned in
+    tests/test_corpus_ops.py.
 
     ``round_to``: when set, rank over the cosine ROUNDED to that many
     decimals (with the vec_id tiebreak) so an external engine replaying
     the query ranks identically regardless of last-ulp float noise.
     ``hash_fn`` is forwarded to ``rademacher_bucket_col``."""
+    radius = int(multi_probe)
     qbucket = rademacher_bucket_col(F.col(vec_col), n_planes, seed, hash_fn=hash_fn)
-    if multi_probe:
-        probes = F.array(
-            qbucket, *[qbucket.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
-        )
+    if radius > 0:
+        flips = [F.lit(0)]  # the home bucket
+        if radius >= 1:
+            flips += [F.lit(1 << j) for j in range(n_planes)]
+        if radius >= 2:
+            flips += [
+                F.lit((1 << j) | (1 << k))
+                for j in range(n_planes)
+                for k in range(j + 1, n_planes)
+            ]
+        if radius >= 3:
+            raise ValueError("multi_probe radius > 2 not supported")
+        probes = F.array(*[qbucket.bitwiseXOR(m) for m in flips])
         bucket_col = F.explode(probes).alias("bucket")
     else:
         bucket_col = qbucket.alias("bucket")

@@ -358,3 +358,35 @@ def test_audio_decode_real_wav(spark):
     assert s.decode_ok and s.n_channels == 2 and s.n_samples == 6  # frames, not samples
     assert not feats[4].decode_ok
     assert not feats[5].decode_ok
+
+
+def test_lsh_topk_multi_probe_radius2(spark):
+    """Hamming-2 multi-probe: pair sets are nested supersets as the probe
+    radius grows (r0 ⊆ r1 ⊆ r2 with k == corpus size), recall@1 of the
+    true nearest neighbor is monotone in the radius, and bool True still
+    means radius 1 (back-compat)."""
+    e = clustered_embs(spark)
+    q = e.withColumnRenamed("vec_id", "query_id")
+    n = e.count()
+
+    def pairs(radius):
+        out = lsh_topk(q.select("query_id", "embedding"), e, k=n,
+                       n_planes=8, multi_probe=radius)
+        return {(r.query_id, r.vec_id) for r in out.collect()}
+
+    p0, p1, p2 = pairs(0), pairs(1), pairs(2)
+    assert p0 <= p1 <= p2
+    assert len(p2) > len(p1)        # radius 2 really probes new buckets
+    assert pairs(True) == p1        # bool back-compat
+
+    bf = {(r.query_id, r.vec_id)
+          for r in brute_force_topk(q, e, k=2).collect() if r.query_id != r.vec_id}
+
+    def top1_hits(radius):
+        out = lsh_topk(q.select("query_id", "embedding"), e, k=2,
+                       n_planes=8, multi_probe=radius)
+        got = {(r.query_id, r.vec_id) for r in out.collect() if r.query_id != r.vec_id}
+        return len(bf & got)
+
+    h0, h1, h2 = top1_hits(0), top1_hits(1), top1_hits(2)
+    assert h0 <= h1 <= h2

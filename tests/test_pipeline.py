@@ -250,13 +250,15 @@ def test_lineage_costs_no_extra_jobs_and_pipeline_releases_caches(spark, tmp_pat
     parts = {r[2]: r[4] for r in log.rows}  # (run, stage, part, in, out, ...)
     assert parts == {"p0": 34, "p1": 33, "p2": 33}
 
-    # (c) full pipeline run → no persistent RDDs remain
+    # (c) full pipeline run → no NEW persistent RDDs remain (the session
+    # is shared across tests, so compare against a pre-run snapshot)
     tdir = generate_transcripts(0.001)
     transcripts = spark.read.parquet(tdir)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     out = run_pipeline(spark, transcripts, str(tmp_path / "kg"))
     assert out["nodes"].count() > 0
     lineage_stages = {r[0] for r in spark.read.parquet(
         out["lineage"]["data_dir"]).select("stage", "part").collect()}
     assert {"extract", "edges", "nodes"} <= lineage_stages
-    persistent = spark.sparkContext._jsc.getPersistentRDDs()
-    assert persistent.size() == 0, f"leaked cached RDDs: {persistent}"
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), f"run_pipeline leaked cached RDDs: {after - before}"

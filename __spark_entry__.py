@@ -881,7 +881,11 @@ def q_doc_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.lit(None).cast("map<string,array<string>>").alias("claims"),
     )
-    matches, _trace = cascade(docs, default_classifiers(spark), top_k=3)
+    # eager per-stage materialization: consumed immediately, and the
+    # truncated lineage spares the action re-planning every stage (same
+    # A/B-probed win as classify_entities — BENCH/BASELINE.md attribution)
+    matches, _trace = cascade(docs, default_classifiers(spark), top_k=3,
+                              materialize="eager")
     return matches.where(F.col("rank") == 1).select(
         F.col("entity_id").alias("doc_id"), "class_uri", "class_label",
         F.round("confidence", 6).alias("confidence"), "source",
@@ -1940,10 +1944,13 @@ def q_embedding_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     both = embs.unionByName(pert)
-    # expr bucketing explicitly: the SQL-replayable projection family for
-    # the DuckDB oracle; production default is bucket_impl="kernel"
-    pairs = embedding_near_dups(both, threshold=0.95, bucketed=True,
-                                bucket_impl="expr")
+    # production-default kernel bucketing (one BLAS matmul per batch). The
+    # oracle is the EXACT all-pairs answer, so it checks recall — measured
+    # identical output to impl="expr" on this table and 4× less fixed cost
+    # (the 8×8-table expr variant's plan-compile time dominated at 550
+    # rows); the bucketing EXPRESSION family is separately SQL-replayed by
+    # the embedding_lsh_topk oracle
+    pairs = embedding_near_dups(both, threshold=0.95, bucketed=True)
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 

@@ -390,3 +390,26 @@ def test_lsh_topk_multi_probe_radius2(spark):
 
     h0, h1, h2 = top1_hits(0), top1_hits(1), top1_hits(2)
     assert h0 <= h1 <= h2
+
+
+def test_kernel_buckets_id_types_and_ragged(spark):
+    """ADVICE r2: impl='kernel' honors the same contract as impl='expr' —
+    non-long id columns work (output id type follows the input schema),
+    and a ragged batch raises a clear error instead of a numpy shape
+    crash."""
+    import pytest
+
+    from bfokg.operators.similarity_search import lsh_bucket_candidates
+
+    rows = [(f"doc-{i}", [float(i), 1.0, 0.5, -1.0]) for i in range(20)]
+    e = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    for impl in ("expr", "kernel"):
+        out = lsh_bucket_candidates(e, n_planes=2, n_tables=2, impl=impl)
+        assert dict(out.dtypes) == {"id_a": "string", "id_b": "string"}
+        assert out.count() > 0  # 4-bucket space over 20 vectors must collide
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="ragged"):
+        lsh_bucket_candidates(ragged, impl="kernel").count()

@@ -1921,6 +1921,84 @@ FROM ranked WHERE rank <= 3 AND vec_id <> query_id
 """
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the second scale path next to LSH): deterministic
+    spherical-k-means centroids from the first 64 vectors, corpus assigned
+    to cells via broadcast join, queries probe their 2 nearest of 8 cells.
+    The DuckDB oracle recomputes the SAME centroids (shared _lloyd core on
+    the same parquet sample) and replays cell assignment + probing
+    exactly, so the IVF structure itself is hash-checked."""
+    from bfokg.operators.similarity_search import ivf_centroids, ivf_topk
+
+    embs = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = ivf_centroids(embs, n_centroids=8, sample=64)
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(queries, embs, cents, k=3, nprobe=2, round_to=4)
+    return out.where(F.col("query_id") != F.col("vec_id")).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+def _sql_embedding_ivf_topk(n_centroids: int = 8, sample: int = 64,
+                            nprobe: int = 2) -> str:
+    """DuckDB oracle for q_embedding_ivf_topk: centroids recomputed with
+    the SAME `_lloyd` numpy core from the same parquet sample (first 64
+    vec_ids) and inlined as VALUES; cell assignment (round(dot/norm, 9),
+    tiebreak cell ASC) and nprobe probing replayed in SQL."""
+    import pyarrow.parquet as pq
+
+    from bfokg.operators.similarity_search import _lloyd
+
+    tbl = pq.read_table(
+        os.path.join("/root/testdata/sf0.01", "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pydict()
+    order = sorted(range(len(tbl["vec_id"])), key=lambda i: tbl["vec_id"][i])[:sample]
+    cents = _lloyd([list(tbl["embedding"][i]) for i in order], n_centroids, 5)
+    cent_values = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent(cell, cvec) AS (VALUES {cent_values}),
+scored_cells AS (
+  SELECT e.vec_id, e.emb, c.cell,
+         round(list_dot_product(e.emb, c.cvec)
+               / sqrt(list_dot_product(e.emb, e.emb)), 9) AS cdot
+  FROM e CROSS JOIN cent c
+),
+ranked_cells AS (
+  SELECT vec_id, emb, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cdot DESC, cell ASC) AS cr
+  FROM scored_cells
+),
+corpus AS (SELECT vec_id, emb, cell FROM ranked_cells WHERE cr = 1),
+q AS (SELECT vec_id AS query_id, emb AS qvec, cell
+      FROM ranked_cells WHERE vec_id < 10 AND cr <= {nprobe}),
+scored AS (
+  SELECT DISTINCT q.query_id, c.vec_id,
+         round(list_dot_product(q.qvec, c.emb)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 4) AS cosine
+  FROM q JOIN corpus c ON c.cell = q.cell
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked WHERE rank <= 3 AND vec_id <> query_id
+"""
+
+
 def q_embedding_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup dedup on the LSH-bucketed 100 TB path
     (dedup.embedding_near_dups(bucketed=True) composing
@@ -2161,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_lsh_topk": q_embedding_lsh_topk,    # crc32-replayed buckets
+        "embedding_ivf_topk": q_embedding_ivf_topk,    # IVF cells, oracle
         "embedding_lsh_dups": q_embedding_lsh_dups,    # bucketed dedup path
         "multimodal_meta": q_multimodal_meta,
         "image_features": q_image_features,            # real PNM decode, oracle
@@ -2203,6 +2282,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "embedding_lsh_topk": _sql_embedding_lsh_topk(),
+        "embedding_ivf_topk": _sql_embedding_ivf_topk(),
         "embedding_lsh_dups": SQL_EMBEDDING_LSH_DUPS,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "image_features": SQL_IMAGE_FEATURES,

@@ -182,6 +182,122 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 512,
+    iters: int = 5,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic spherical k-means centroids from a BOUNDED sample.
+
+    The training sample is the first ``sample`` rows by id — a driver
+    collect bounded by ``sample``, never by corpus size (at 10^9 rows you
+    still collect 512 vectors); init = the first ``n_centroids`` sample
+    rows, then ``iters`` Lloyd steps with cosine assignment (numpy argmax
+    breaks ties toward the lower centroid id). Fully deterministic for a
+    given table, so an external engine can replay IVF search from the
+    same centroid matrix (the DuckDB oracle inlines it as VALUES).
+    Returns a list of n_centroids unit-norm python float lists.
+    """
+    rows = corpus.select(corpus_id, vec_col).orderBy(corpus_id).limit(sample).collect()
+    return _lloyd([list(r[1]) for r in rows], n_centroids, iters)
+
+
+def _lloyd(sample_vecs, n_centroids: int, iters: int):
+    """The deterministic spherical-Lloyd core shared by ``ivf_centroids``
+    and the DuckDB oracle builder (which recomputes the SAME centroids
+    from the same sample read off parquet, then inlines them as VALUES —
+    identical float64 math → identical cells on both engines)."""
+    import numpy as np
+
+    X = np.array(sample_vecs, dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return [[float(x) for x in row] for row in C]
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the second scale path next to LSH.
+
+    Every corpus vector is assigned to its nearest centroid's cell via a
+    BROADCAST join against the (tiny) centroid table — one partial-dot
+    scan, no corpus shuffle beyond the cell-join itself; each query
+    probes only its ``nprobe`` nearest cells, so the exact-cosine work is
+    ~(nprobe / n_centroids) of brute force. recall < 1 by construction;
+    nprobe == n_centroids degenerates to exact search (pinned in tests).
+    Cell assignment ranks the centroid dot product rounded to 9 decimals
+    (tiebreak: centroid id) so external engines replay the same cells.
+    """
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, cvec array<double>"
+    )
+    cdot = F.round(
+        _dot(F.col("vec"), F.col("cvec")) / _norm(F.col("vec")), 9
+    )  # centroids are unit-norm; normalize the data side only
+    cell_w = Window.partitionBy("_id").orderBy(F.desc("cdot"), F.asc("cell"))
+
+    def assign(df, id_col, n_cells):
+        scored = (
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("vec"))
+            .join(F.broadcast(cent), how="cross")
+            .withColumn("cdot", cdot)
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(cell_w))
+            .where(F.col("_r") <= n_cells)
+            .select("_id", "cell", "vec")
+        )
+
+    c = assign(corpus, corpus_id, 1).select(
+        F.col("_id").alias("vec_id"),
+        "cell",
+        F.col("vec").alias("cvec_data"),
+        _norm(F.col("vec")).alias("cnorm"),
+    )
+    q = assign(queries, query_id, nprobe).select(
+        F.col("_id").alias("query_id"),
+        "cell",
+        F.col("vec").alias("qvec"),
+        _norm(F.col("vec")).alias("qnorm"),
+    )
+    cosine = _dot("qvec", "cvec_data") / (F.col("qnorm") * F.col("cnorm"))
+    if round_to is not None:
+        cosine = F.round(cosine, round_to)
+    scored = (
+        q.join(c, "cell")
+        .withColumn("cosine", cosine)
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def _kernel_buckets(
     embeddings: DataFrame,
     n_planes: int,

@@ -413,3 +413,29 @@ def test_kernel_buckets_id_types_and_ragged(spark):
     ).coalesce(1)
     with pytest.raises(Exception, match="ragged"):
         lsh_bucket_candidates(ragged, impl="kernel").count()
+
+
+def test_ivf_topk_recall_and_degeneracy(spark):
+    """IVF ANN: deterministic centroids from a bounded sample; recall@1 is
+    monotone in nprobe, and nprobe == n_centroids probes every cell so the
+    result EQUALS brute force (same k, same tiebreak)."""
+    from bfokg.operators.similarity_search import ivf_centroids, ivf_topk
+
+    e = clustered_embs(spark)
+    q = e.withColumnRenamed("vec_id", "query_id")
+    cents = ivf_centroids(e, n_centroids=8, sample=48)
+    assert len(cents) == 8 and all(abs(sum(x * x for x in c) - 1) < 1e-9 for c in cents)
+    # determinism: same table → same centroids
+    assert cents == ivf_centroids(e, n_centroids=8, sample=48)
+
+    bf = {(r.query_id, r.vec_id, r.rank)
+          for r in brute_force_topk(q, e, k=3).collect()}
+
+    def hits(nprobe):
+        out = ivf_topk(q.select("query_id", "embedding"), e, cents, k=3, nprobe=nprobe)
+        return {(r.query_id, r.vec_id, r.rank) for r in out.collect()}
+
+    h1, h2, h8 = hits(1), hits(2), hits(8)
+    assert len(h1 & bf) <= len(h2 & bf) <= len(h8 & bf)
+    assert h8 == bf                      # all cells probed == exact
+    assert len(h1 & bf) > 0              # probing the home cell finds neighbors

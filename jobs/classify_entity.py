@@ -60,9 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hierarchical", action="store_true",
                    help="hierarchical top-down classification from Entity")
     p.add_argument("--log", action="store_true",
-                   help="save the classification to a run-log JSON file")
+                   help="save the classification to a run-log file")
     p.add_argument("--log-dir", default="logs",
                    help="directory for --log output (default: logs)")
+    p.add_argument("--log-format", default="json", choices=["json", "yaml"],
+                   help="json (engine-native) or yaml — the reference's "
+                        "exact run-log layout AND filename scheme "
+                        "(YYYYMMDD_HHMMSS_EntityID.yaml, classification_"
+                        "logger.py:28-112), so ref tooling that parses "
+                        "those files keeps working")
     return p
 
 
@@ -208,29 +214,87 @@ def main(argv=None) -> int:
     elapsed_ms = (time.time() - t0) * 1000.0
 
     if args.log:
-        # run-log sink (the reference writes YAML per run,
-        # classification_logger.py:28-112; we map the same fields to JSON —
-        # the declared S7 design decision, SURVEY.md §2.1)
         os.makedirs(args.log_dir, exist_ok=True)
-        path = os.path.join(
-            args.log_dir, f"classification_{row.id}_{int(time.time())}.json"
-        )
-        payload = {
-            "entity": {"id": row.id, "label": row.label,
-                       "description": row.description},
-            "strategy": args.strategy,
-            "preset": args.preset,
-            "hierarchical": args.hierarchical,
-            "processing_time_ms": elapsed_ms,
-            "matches": [
-                {"class_uri": r.class_uri, "class_label": r.class_label,
-                 "confidence": float(r.confidence), "source": r.source,
-                 "rank": int(r.rank)}
-                for r in matches
-            ],
-        }
-        with open(path, "w") as f:
-            json.dump(payload, f, indent=2)
+        if args.log_format == "yaml":
+            # the reference's EXACT YAML layout + filename scheme
+            # (classification_logger.py:50-112: timestamp / entity /
+            # classification / system_config keys, yaml.dump with
+            # sort_keys=False, filename YYYYMMDD_HHMMSS_EntityID.yaml) —
+            # closes the declared S7 format gap for ref tooling
+            from datetime import datetime
+
+            import yaml
+
+            from bfokg.config import CASCADE_THRESHOLDS
+            from bfokg.functions.text import with_entity_text
+
+            ts = datetime.now()
+            text = with_entity_text(entity_df).select("text").first().text
+            cfg = clf.config
+            entry = {
+                "timestamp": ts.isoformat(),
+                "entity": {
+                    "id": row.id, "label": row.label,
+                    "description": row.description, "text": text,
+                    "aliases": list(row.aliases[:5]) if row.aliases else [],
+                },
+                "classification": {
+                    "strategy": args.strategy,
+                    "processing_time_ms": elapsed_ms,
+                    "top_matches": [
+                        {"class_uri": r.class_uri, "class_label": r.class_label,
+                         "confidence": float(r.confidence), "source": r.source,
+                         "metadata": {}}
+                        for r in matches
+                    ],
+                },
+                "system_config": {
+                    "device": "cpu",
+                    "models": {
+                        "semantic": cfg.semantic_model,
+                        "zeroshot": cfg.zeroshot_model,
+                        "finetuned_base": cfg.finetuned_base,
+                    },
+                    "thresholds": dict(CASCADE_THRESHOLDS)
+                    if args.strategy == "cascade" else {},
+                    "classifier_config": {"preset": args.preset},
+                },
+            }
+            if trace_rows:
+                entry["cascade_trace"] = [
+                    {"classifier": s.classifier, "decision": s.decision,
+                     "prediction": s.top_prediction,
+                     "confidence": None if s.confidence is None
+                     else float(s.confidence),
+                     "threshold": float(s.threshold)}
+                    for s in sorted(trace_rows, key=lambda r: r.stage_idx)
+                ]
+            path = os.path.join(
+                args.log_dir, f"{ts.strftime('%Y%m%d_%H%M%S')}_{row.id}.yaml"
+            )
+            with open(path, "w", encoding="utf-8") as f:
+                yaml.dump(entry, f, default_flow_style=False,
+                          allow_unicode=True, sort_keys=False, indent=2)
+        else:
+            path = os.path.join(
+                args.log_dir, f"classification_{row.id}_{int(time.time())}.json"
+            )
+            payload = {
+                "entity": {"id": row.id, "label": row.label,
+                           "description": row.description},
+                "strategy": args.strategy,
+                "preset": args.preset,
+                "hierarchical": args.hierarchical,
+                "processing_time_ms": elapsed_ms,
+                "matches": [
+                    {"class_uri": r.class_uri, "class_label": r.class_label,
+                     "confidence": float(r.confidence), "source": r.source,
+                     "rank": int(r.rank)}
+                    for r in matches
+                ],
+            }
+            with open(path, "w") as f:
+                json.dump(payload, f, indent=2)
         print(f"\n[OK] Classification logged to: {path}")
 
     print("\n" + "=" * 80)

@@ -242,3 +242,34 @@ def test_cli_sample_lookup_and_compare(spark):
     assert "COMPARISON RESULTS" in out.stdout
     for name in ["CASCADE", "ENSEMBLE", "HYBRID_CONFIDENCE", "TIERED"]:
         assert name in out.stdout
+
+
+def test_cli_yaml_run_log(tmp_path):
+    """--log-format yaml writes the reference's run-log layout AND filename
+    scheme (classification_logger.py:50-112: YYYYMMDD_HHMMSS_EntityID.yaml
+    with timestamp/entity/classification/system_config keys), so reference
+    tooling that parses those files keeps working (SURVEY §2.1 S7)."""
+    import re
+
+    import yaml
+
+    env = os.environ.copy()
+    env["SPARK_GRAFT_CPUS"] = "2"
+    out = subprocess.run(
+        [sys.executable, "jobs/classify_entity.py", "Q_SYNTH_1",
+         "--log", "--log-format", "yaml", "--log-dir", str(tmp_path)],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    logs = os.listdir(tmp_path)
+    assert len(logs) == 1
+    assert re.fullmatch(r"\d{8}_\d{6}_Q_SYNTH_1\.yaml", logs[0]), logs[0]
+    d = yaml.safe_load(open(os.path.join(tmp_path, logs[0])))
+    assert list(d)[:4] == ["timestamp", "entity", "classification", "system_config"]
+    assert d["entity"]["id"] == "Q_SYNTH_1" and d["entity"]["text"]
+    cls = d["classification"]
+    assert cls["strategy"] == "cascade" and cls["processing_time_ms"] > 0
+    assert all({"class_uri", "class_label", "confidence", "source",
+                "metadata"} <= set(m) for m in cls["top_matches"])
+    assert d["system_config"]["models"]["semantic"]
+    assert [t["classifier"] for t in d["cascade_trace"]][0] == "rule_based"

@@ -35,7 +35,9 @@ BENCH_QUERIES = [
     "doc_cascade",
     "embedding_topk",
     "embedding_lsh_dups",
+    "embedding_ivf_topk",
     "image_features",
+    "audio_features",
     "pricing_summary",
     "customer_nation_revenue",
     "events_topn",

@@ -189,9 +189,23 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sig_storage: str = "auto",
 ) -> DataFrame:
     """MinHash + LSH banding candidate generation, verified with estimated
     jaccard = matching-minhash fraction. Returns (doc_a, doc_b, est_jaccard).
+
+    ``sig_storage``: how the signature table (consumed 3×: banding + both
+    verify joins) is materialized. ``"auto"`` (default) writes it to a
+    scratch PARQUET dir — the configured Spark checkpoint dir when set,
+    else a local temp dir on local masters — and falls back to a memory
+    ``persist`` when neither exists; ``"memory"`` forces the persist.
+    Parquet wins decisively for this shape: Spark's in-memory columnar
+    cache stores array columns via generic object serialization, and
+    decoding it CONTENDS across threads (measured on the 640k-doc leg:
+    banding off the memory cache 13.9 s @8 / 13.5 s @32 — negative
+    scaling — vs 8.3 s / 6.6 s off parquet's vectorized reader, with
+    comparable fill cost). The returned frame's cleanup handle DELETES
+    the scratch dir — release only when done with the result.
 
     Shuffle shape (the scale story — every byte here multiplies at 10^9
     docs, all MEASURED on the 640k-doc scaling leg, tools/
@@ -214,8 +228,36 @@ def minhash_lsh_pairs(
       self-join (single-shuffle on paper, but +9% wall at local[32] —
       the wide-row exchange costs more than the narrow candidate
       re-shuffle it saves)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..util import PathCleanup
+
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col).persist()
+    spark = docs.sparkSession
+    sigs_raw = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    store_dir = None
+    if sig_storage == "auto":
+        configured = None
+        try:
+            configured = spark.sparkContext.getCheckpointDir()
+        except Exception:
+            pass
+        if configured:
+            store_dir = os.path.join(configured, f"bfokg_sigs_{uuid.uuid4().hex[:8]}")
+        elif spark.conf.get("spark.master", "local").startswith("local"):
+            store_dir = tempfile.mkdtemp(prefix="bfokg_sigs_")
+            atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    if store_dir is not None:
+        sigs_raw.write.mode("overwrite").parquet(store_dir)
+        sigs = spark.read.parquet(store_dir)
+        cleanup = PathCleanup(store_dir)
+    else:
+        sigs = sigs_raw.persist()
+        cleanup = sigs
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -245,7 +287,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "est_jaccard")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return attach_cleanup(est, sigs)
+    return attach_cleanup(est, cleanup)
 
 
 # -------------------------------------------------------------- simhash --

@@ -27,6 +27,24 @@ def attach_cleanup(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return result
 
 
+class PathCleanup:
+    """A cleanup handle for operators that materialize intermediates to
+    a scratch parquet path instead of the block cache (arrays decode much
+    faster off parquet's vectorized reader than off the generic-object
+    columnar cache — see dedup.minhash_lsh_pairs). Releasing DELETES the
+    files: unlike unpersisting a cached frame (which merely recomputes on
+    re-use), a released parquet-backed result must not be consumed again.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def unpersist(self, blocking: bool = False):
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
 def release_intermediates(df: DataFrame, blocking: bool = False) -> int:
     """Unpersist every intermediate attached via ``attach_cleanup``.
     Returns the number of frames released. Safe to call twice."""

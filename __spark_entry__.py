@@ -1111,7 +1111,11 @@ def q_hierarchical_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_hierarchical_exact() -> str:
+def _sql_hierarchical_exact(src_sql: str | None = None,
+                            id_out: str = "id AS entity_id") -> str:
+    """Parameterized over the source CTE (id, text) — the fixture set by
+    default; ``doc_hierarchy_exact`` points it at the documents table
+    (VERDICT r3 item 2: doc-scale twins for the walk kernel)."""
     import numpy as np
 
     from bfokg.functions.encoders import VocabTfidfEncoder
@@ -1133,13 +1137,15 @@ def _sql_hierarchical_exact() -> str:
     fixtures_only = ",\n    ".join(
         f"({_q(e)}, {_q(l)}, {_q(d)})" for e, l, d, _a, _gt in _FIXTURES
     )
-    return f"""
-WITH RECURSIVE
-src AS (
+    if src_sql is None:
+        src_sql = f"""
   WITH fixtures(entity_id, label, description) AS (VALUES
       {fixtures_only})
   SELECT entity_id AS id, label || ': ' || description AS text FROM fixtures
-),
+"""
+    return f"""
+WITH RECURSIVE
+src AS ({src_sql}),
 idf(word, idf) AS (VALUES
     {idf_values}),
 cw(class_uri, class_label, word, w) AS (VALUES
@@ -1220,11 +1226,126 @@ walk(id, cur_uri, cur_label, cur_conf, depth, path, stop) AS (
   LEFT JOIN best b ON b.id = w.id AND b.parent_uri = w.cur_uri
   WHERE w.stop IS NULL AND w.depth < 7
 )
-SELECT id AS entity_id, cur_uri AS class_uri, cur_label AS class_label,
+SELECT {id_out}, cur_uri AS class_uri, cur_label AS class_label,
        round(cur_conf, 6) AS confidence,
        coalesce(stop, 'MAX_DEPTH') AS stop_reason, depth, path AS path_str
 FROM walk
 WHERE stop IS NOT NULL OR depth = 7
+"""
+
+
+def q_doc_hierarchy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOC-SCALE float64 twin of q_doc_hierarchy (VERDICT r3 item 2): the
+    hierarchical walk kernel over the full documents table, hash-checked
+    against the same recursive-CTE replay as hierarchical_exact — the
+    source CTE is the only thing that changes. Closes the last gap where
+    the kernel's oracle ran only on the 29-row fixture set."""
+    import numpy as np
+
+    from bfokg.functions.encoders import VocabTfidfEncoder
+    from bfokg.operators.hierarchy import classify_hierarchical
+    from bfokg.operators.semantic import class_texts
+
+    enc = VocabTfidfEncoder([r[2] for r in class_texts()], dtype=np.float64)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    out = classify_hierarchical(docs, encoder=enc)
+    return out.select(
+        F.col("entity_id").cast("long").alias("doc_id"),
+        "class_uri", "class_label",
+        F.round("confidence", 6).alias("confidence"),
+        "stop_reason", "depth",
+        F.array_join(
+            F.transform("path", lambda p: p["class_label"]), ">"
+        ).alias("path_str"),
+    )
+
+
+def _sql_doc_hierarchy_exact() -> str:
+    return _sql_hierarchical_exact(
+        src_sql="SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents",
+        id_out="CAST(id AS BIGINT) AS doc_id",
+    )
+
+
+def q_doc_cascade_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOC-SCALE float64 twin of q_doc_cascade (VERDICT r3 item 2): the
+    staged anti-join cascade (rule_based keyword stage at threshold 0.90,
+    float64 semantic on the residue) over EVERY document, hash-checked.
+    Same two-stage replay as cascade_exact with the documents table as the
+    source: docs have no claims, so the rule stage is pure keyword scoring,
+    and with semantic always returning rows the last-non-empty fallback
+    resolves to rule top-k for rule-accepted docs, semantic top-k for the
+    rest (hybrid.py:437-440)."""
+    import numpy as np
+
+    from bfokg.functions.encoders import VocabTfidfEncoder
+    from bfokg.operators.semantic import class_texts, classify_semantic
+    from bfokg.operators.strategies import cascade
+    from bfokg.plans.pipeline import default_classifiers
+
+    enc = VocabTfidfEncoder([r[2] for r in class_texts()], dtype=np.float64)
+    clf = default_classifiers(spark)
+    clf["semantic"] = lambda df, k: classify_semantic(df, encoder=enc, top_k=k)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("id"),
+        "text",
+        F.lit(None).cast("map<string,array<string>>").alias("claims"),
+    )
+    matches, _trace = cascade(docs, clf, top_k=3, materialize="eager")
+    return matches.where(F.col("rank") == 1).select(
+        F.col("entity_id").cast("long").alias("doc_id"),
+        "class_uri", "class_label",
+        F.round("confidence", 6).alias("confidence"), "source",
+    )
+
+
+def _sql_doc_cascade_exact() -> str:
+    sem_sql = _sql_semantic_topk(
+        "SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents",
+        "entity_id", 3, with_rank=True,
+    )
+    return f"""
+WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS entity_id, text FROM documents),
+toks AS (
+  SELECT entity_id, tok FROM (
+    SELECT entity_id, unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS tok FROM docs
+    UNION
+    SELECT entity_id, unnest(string_split_regex(lower(text), '[^a-z0-9_-]+')) AS tok FROM docs
+  ) WHERE tok <> ''
+),
+{_KW_CTE.strip()},
+{_CLASSES_CTE.strip()},
+kw_scored AS (
+  SELECT t.entity_id, k.class_label,
+         CAST(count(DISTINCT k.keyword) AS DOUBLE) / any_value(k.n_keywords) AS score,
+         least((CAST(count(DISTINCT k.keyword) AS DOUBLE) / any_value(k.n_keywords)) * 0.9,
+               CAST(0.95 AS DOUBLE)) AS confidence,
+         any_value(k.rule_order) AS rule_order
+  FROM toks t JOIN kw k ON t.tok = k.keyword
+  GROUP BY t.entity_id, k.class_label
+),
+rulep AS (
+  SELECT s.entity_id, cl.class_uri, s.class_label, s.confidence,
+         'rule_based' AS source,
+         row_number() OVER (PARTITION BY s.entity_id
+                            ORDER BY s.score DESC, s.rule_order ASC) AS rank
+  FROM kw_scored s JOIN classes cl ON cl.class_label = s.class_label
+),
+sem AS ({sem_sql}),
+acc1 AS (SELECT entity_id FROM rulep WHERE rank = 1 AND confidence >= 0.90),
+final AS (
+  SELECT r.entity_id, r.class_uri, r.class_label, r.confidence, r.source, r.rank
+  FROM rulep r JOIN acc1 a USING (entity_id)
+  UNION ALL
+  SELECT s.entity_id, s.class_uri, s.class_label, s.confidence,
+         'semantic' AS source, s.rank
+  FROM sem s WHERE s.entity_id NOT IN (SELECT entity_id FROM acc1)
+)
+SELECT CAST(entity_id AS BIGINT) AS doc_id, class_uri, class_label,
+       round(confidence, 6) AS confidence, source
+FROM final WHERE rank = 1
 """
 
 
@@ -1928,16 +2049,19 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle recomputes the SAME centroids (shared _lloyd core on
     the same parquet sample) and replays cell assignment + probing
     exactly, so the IVF structure itself is hash-checked."""
-    from bfokg.operators.similarity_search import ivf_centroids, ivf_topk
+    from bfokg.operators.similarity_search import (
+        ivf_build, ivf_centroids, ivf_search,
+    )
 
     embs = _embs(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     cents = ivf_centroids(embs, n_centroids=8, sample=64)
+    cells = ivf_build(embs, cents)  # build ONCE; ivf_search per query batch
     queries = embs.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivf_topk(queries, embs, cents, k=3, nprobe=2, round_to=4)
+    out = ivf_search(queries, cells, cents, k=3, nprobe=2, round_to=4)
     return out.where(F.col("query_id") != F.col("vec_id")).select(
         "query_id", "vec_id", "cosine", "rank"
     )
@@ -1948,13 +2072,20 @@ def _sql_embedding_ivf_topk(n_centroids: int = 8, sample: int = 64,
     """DuckDB oracle for q_embedding_ivf_topk: centroids recomputed with
     the SAME `_lloyd` numpy core from the same parquet sample (first 64
     vec_ids) and inlined as VALUES; cell assignment (round(dot/norm, 9),
-    tiebreak cell ASC) and nprobe probing replayed in SQL."""
+    tiebreak cell ASC) and nprobe probing replayed in SQL.
+
+    The sample is read from ORACLE_SF_DIR (the dir the gate registers its
+    DuckDB views from — tools/check_oracles.py exports the same env
+    default), so the oracle's centroids always come from the SAME table
+    the Spark query ran on (ADVICE r3 #1: a hardcoded sf0.01 path
+    produced wrong-dataset centroids under any other ORACLE_SF_DIR)."""
     import pyarrow.parquet as pq
 
     from bfokg.operators.similarity_search import _lloyd
 
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
     tbl = pq.read_table(
-        os.path.join("/root/testdata/sf0.01", "embeddings.parquet"),
+        os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     ).to_pydict()
     order = sorted(range(len(tbl["vec_id"])), key=lambda i: tbl["vec_id"][i])[:sample]
@@ -2225,8 +2356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data / corpus operators
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,                  # rows-only
-        "simhash": q_simhash,                          # rows-only
+        "minhash_lsh": q_minhash_lsh,                  # crc32-replayed, oracle
+        "simhash": q_simhash,                          # crc32-replayed, oracle
         "doc_stats": q_doc_stats,
         "doc_semantic": q_doc_semantic,                # rows-only (kernel)
         "doc_semantic_exact": q_doc_semantic_exact,    # kernel math, oracle
@@ -2236,6 +2367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchical_exact": q_hierarchical_exact,    # recursive-CTE walk oracle
         "doc_hierarchy": q_doc_hierarchy,              # rows-only (kernel)
         "doc_cascade": q_doc_cascade,                  # rows-only (SF-prop cascade)
+        "doc_hierarchy_exact": q_doc_hierarchy_exact,  # doc-scale walk, oracle
+        "doc_cascade_exact": q_doc_cascade_exact,      # doc-scale cascade, oracle
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_lsh_topk": q_embedding_lsh_topk,    # crc32-replayed buckets
@@ -2278,11 +2411,12 @@ def oracle_sql() -> dict[str, str]:
         "zeroshot_matches_exact": _sql_zeroshot_matches_exact(),
         "cascade_exact": _sql_cascade_exact(),
         "hierarchical_exact": _sql_hierarchical_exact(),
+        "doc_hierarchy_exact": _sql_doc_hierarchy_exact(),
+        "doc_cascade_exact": _sql_doc_cascade_exact(),
         "doc_stats": _sql_doc_stats(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "embedding_lsh_topk": _sql_embedding_lsh_topk(),
-        "embedding_ivf_topk": _sql_embedding_ivf_topk(),
         "embedding_lsh_dups": SQL_EMBEDDING_LSH_DUPS,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "image_features": SQL_IMAGE_FEATURES,
@@ -2296,4 +2430,15 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": SQL_SET_OPS,
     }
     sqls.update(_sql_transcripts_pipeline())
+    # The IVF oracle is the ONE entry that must read a parquet sample to
+    # build its SQL (centroids are inlined VALUES). On a clean checkout
+    # with no testdata yet, omit it — the query degrades to rows-only —
+    # instead of making oracle_sql() raise (ADVICE r3 #1). Every other
+    # entry is a pure string.
+    try:
+        sqls["embedding_ivf_topk"] = _sql_embedding_ivf_topk()
+    except (FileNotFoundError, OSError) as e:
+        import warnings
+
+        warnings.warn(f"embedding_ivf_topk oracle skipped (no testdata): {e}")
     return sqls

@@ -20,6 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# best-of-N per query (VERDICT r3 item 5: single runs swing ±130% under
+# this box's bursty external load; best-of-2 + recorded loadavg makes the
+# artifact self-adjudicating)
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
 
 BENCH_QUERIES = [
     "mentions",
@@ -64,16 +76,23 @@ def main():
 
     from bfokg.util import release_intermediates
 
+    load_before = _loadavg()
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        counts[name] = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        # release operator caches after the consuming action (outside the
-        # timed window): queries are independent, so any block left cached
-        # is dead weight that skews later queries' memory headroom
-        release_intermediates(df)
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            counts[name] = df.count()
+            dt = time.time() - t0
+            # release operator caches after the consuming action (outside
+            # the timed window): queries are independent, so any block left
+            # cached is dead weight that skews later queries' memory
+            # headroom — and releasing between repeats keeps each repeat a
+            # cold, comparable run
+            release_intermediates(df)
+            spark.catalog.clearCache()
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     n_turns = sf_to_n_turns(sf)
@@ -86,6 +105,8 @@ def main():
         "sf": sf,
         "extra": {
             "cpus": int(CPUS),
+            "timing": f"best_of_{N_RUNS}",
+            "loadavg_before": load_before,
             "row_counts": counts,
             "n_turns": n_turns,
             "turns_per_sec": round(n_turns / edges_sec, 1) if edges_sec else None,
@@ -109,8 +130,49 @@ def main():
         sf1_turns = sf_to_n_turns(1.0)
         sf1["n_turns"] = sf1_turns
         sf1["turns_per_sec"] = round(sf1_turns / sf1["edges"], 1) if sf1["edges"] else None
+
+        # corpus comparator (VERDICT r3 item 5): one big CORPUS query next
+        # to the transcript rows — the sf0.1 documents table amplified ×32
+        # in-session (~160k distinct docs, per-copy token suffixes so no
+        # cross-copy dup pairs), through the full MinHash+LSH dedup
+        from pyspark.sql import functions as F
+
+        from bfokg.operators.dedup import minhash_lsh_pairs
+
+        base_docs = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).select("doc_id", "text")
+        copies = spark.range(32).select(F.col("id").alias("copy"))
+        suffixed = F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t: F.concat(t, F.lit("_"), F.col("copy").cast("string")),
+            ),
+            " ",
+        )
+        docs32 = (
+            base_docs.crossJoin(copies)
+            .select((F.col("doc_id") * 32 + F.col("copy")).alias("doc_id"),
+                    suffixed.alias("text"))
+            .repartition(int(CPUS)).persist()
+        )
+        n_docs32 = docs32.count()  # materialize outside the timed window
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            pairs = minhash_lsh_pairs(docs32, threshold=0.5)
+            n_pairs = pairs.count()
+            dt = time.time() - t0
+            release_intermediates(pairs)
+            best = dt if best is None else min(best, dt)
+        docs32.unpersist()
+        sf1["minhash_docs_x32"] = round(best, 3)
+        sf1["minhash_docs_x32_docs"] = n_docs32
+        sf1["minhash_docs_x32_pairs"] = n_pairs
+        sf1["minhash_docs_per_sec"] = round(n_docs32 / best, 1)
         result["extra"]["sf1"] = sf1
 
+    result["extra"]["loadavg_after"] = _loadavg()
     print(json.dumps(result))
 
 

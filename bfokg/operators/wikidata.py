@@ -127,7 +127,15 @@ def p279_closure(claims: DataFrame) -> DataFrame:
             F.lit(0).alias("distance"),
         )
     )
-    return walked.unionByName(self_rows)
+    # propagate build_closure's persisted-frame handles through the union
+    # so callers' release_intermediates() can actually unpersist them
+    # (ADVICE r3 #3: dropping the handle leaked up to interval-1 frontier
+    # frames + the edge table per call in long-lived sessions)
+    from bfokg.util import attach_cleanup
+
+    return attach_cleanup(
+        walked.unionByName(self_rows), *getattr(walked, "_bfokg_cached", ())
+    )
 
 
 def canonicalize_qids(

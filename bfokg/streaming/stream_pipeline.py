@@ -41,11 +41,17 @@ def stream_edges(
     )
 
 
-def run_stream_to_memory(spark: SparkSession, source_dir: str, name: str = "edges_stream"):
+def run_stream_to_memory(
+    spark: SparkSession,
+    source_dir: str,
+    name: str = "edges_stream",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+):
     """Drain the stream with an availableNow trigger into an in-memory
     table (test/debug sink); returns the query after it finishes."""
     q = (
-        stream_edges(spark, source_dir)
+        stream_edges(spark, source_dir, watermark, max_files_per_trigger)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")

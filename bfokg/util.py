@@ -34,14 +34,33 @@ class PathCleanup:
     columnar cache — see dedup.minhash_lsh_pairs). Releasing DELETES the
     files: unlike unpersisting a cached frame (which merely recomputes on
     re-use), a released parquet-backed result must not be consumed again.
+
+    Deletion goes through the Hadoop FileSystem API when a SparkSession is
+    supplied, so scratch dirs landing under a NON-LOCAL configured
+    checkpoint dir (hdfs://, s3a:// on a real cluster) are actually
+    removed — a driver-local ``shutil.rmtree`` silently no-ops on those
+    and leaks the signature table on shared storage (ADVICE r3 #4).
+    ``shutil`` remains the fallback for plain local paths / dead sessions.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, spark=None):
         self.path = path
+        self.spark = spark
 
     def unpersist(self, blocking: bool = False):
         import shutil
 
+        if self.spark is not None:
+            try:
+                jvm = self.spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+                fs = jpath.getFileSystem(
+                    self.spark._jsc.hadoopConfiguration()
+                )
+                fs.delete(jpath, True)
+                return
+            except Exception:
+                pass  # dead JVM / unreachable FS → best-effort local delete
         shutil.rmtree(self.path, ignore_errors=True)
 
 

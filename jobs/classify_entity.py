@@ -261,12 +261,17 @@ def main(argv=None) -> int:
                 },
             }
             if trace_rows:
+                # key names AND order match the reference's cascade_decisions
+                # entries exactly (hybrid.py:409-415 → classification_logger
+                # .py:90-91): classifier / top_prediction / confidence /
+                # threshold / decision — ref tooling reads .top_prediction
                 entry["cascade_trace"] = [
-                    {"classifier": s.classifier, "decision": s.decision,
-                     "prediction": s.top_prediction,
+                    {"classifier": s.classifier,
+                     "top_prediction": s.top_prediction,
                      "confidence": None if s.confidence is None
                      else float(s.confidence),
-                     "threshold": float(s.threshold)}
+                     "threshold": float(s.threshold),
+                     "decision": s.decision}
                     for s in sorted(trace_rows, key=lambda r: r.stage_idx)
                 ]
             path = os.path.join(

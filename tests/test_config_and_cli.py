@@ -273,3 +273,8 @@ def test_cli_yaml_run_log(tmp_path):
                 "metadata"} <= set(m) for m in cls["top_matches"])
     assert d["system_config"]["models"]["semantic"]
     assert [t["classifier"] for t in d["cascade_trace"]][0] == "rule_based"
+    # trace entry keys + ORDER exactly as the reference emits them
+    # (hybrid.py:409-415) — ref tools read entry['top_prediction']
+    for t in d["cascade_trace"]:
+        assert list(t) == ["classifier", "top_prediction", "confidence",
+                           "threshold", "decision"], list(t)

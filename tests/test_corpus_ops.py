@@ -209,7 +209,12 @@ def test_lsh_topk_multi_probe_improves_recall(spark):
 def test_no_jobs_at_operator_construction(spark):
     """Operator CONSTRUCTION must be plan-building only — no Spark job may
     launch until an action runs (VERDICT r1 item 8). Pinned via job-group
-    tracking: any job triggered inside the block would inherit the group."""
+    tracking: any job triggered inside the block would inherit the group.
+
+    ONE documented exception: minhash_lsh_pairs(sig_storage="auto"/"parquet")
+    runs its signature-table parquet write at construction — the scratch
+    materialization IS the operator's storage decision (see the comment at
+    dedup.py's write site); sig_storage="memory" keeps it lazy."""
     from bfokg.operators.similarity_search import lsh_bucket_candidates, lsh_topk
     from bfokg.operators.strategies import tiered
 
@@ -238,6 +243,22 @@ def test_no_jobs_at_operator_construction(spark):
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert sc.statusTracker().getJobIdsForGroup("construction-probe") == []
+
+
+def test_path_cleanup_deletes_through_hadoop_fs(spark, tmp_path):
+    """ADVICE r3 #4: scratch signature dirs under a scheme-qualified
+    checkpoint dir must be deleted through the Hadoop FileSystem API —
+    shutil.rmtree on an hdfs://-style URI silently no-ops. Pinned with a
+    file:-scheme URI (rmtree would also miss it: the literal local path
+    'file:/…' does not exist)."""
+    from bfokg.util import PathCleanup
+
+    scratch = tmp_path / "bfokg_sigs_test"
+    scratch.mkdir()
+    (scratch / "part-0.parquet").write_bytes(b"x")
+    uri = "file:" + str(scratch)
+    PathCleanup(uri, spark).unpersist()
+    assert not scratch.exists()
 
 
 def test_textstats(spark):
@@ -439,3 +460,43 @@ def test_ivf_topk_recall_and_degeneracy(spark):
     assert len(h1 & bf) <= len(h2 & bf) <= len(h8 & bf)
     assert h8 == bf                      # all cells probed == exact
     assert len(h1 & bf) > 0              # probing the home cell finds neighbors
+
+
+def test_ivf_build_reuse_no_corpus_rescan(spark):
+    """VERDICT r3 item 6: the split ivf_build → ivf_search API. The cells
+    table is built and materialized ONCE; subsequent query batches search
+    it without touching the corpus — pinned via an accumulator that counts
+    every corpus row scanned. Also: build+search ≡ the one-shot ivf_topk."""
+    from bfokg.operators.similarity_search import (
+        ivf_build, ivf_centroids, ivf_search, ivf_topk,
+    )
+
+    base = clustered_embs(spark)
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    corpus = base.mapInPandas(counting, base.schema)
+    cents = ivf_centroids(base, n_centroids=4, sample=32)
+    cells = ivf_build(corpus, cents).persist()
+    cells.count()  # materialize the index (the ONE corpus scan)
+    scans_after_build = acc.value
+    assert scans_after_build > 0
+
+    all_q = base.withColumnRenamed("vec_id", "query_id")
+    got = set()
+    for lo, hi in ((0, 2), (2, 4)):  # two separate query batches
+        q = all_q.where((F.col("query_id") >= lo) & (F.col("query_id") < hi))
+        out = ivf_search(q.select("query_id", "embedding"), cells, cents,
+                         k=3, nprobe=2)
+        got |= {(r.query_id, r.vec_id, r.rank) for r in out.collect()}
+    assert acc.value == scans_after_build, "ivf_search re-scanned the corpus"
+
+    q4 = all_q.where(F.col("query_id") < 4).select("query_id", "embedding")
+    oneshot = {(r.query_id, r.vec_id, r.rank)
+               for r in ivf_topk(q4, base, cents, k=3, nprobe=2).collect()}
+    assert got == oneshot
+    cells.unpersist()

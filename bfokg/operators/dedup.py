@@ -356,7 +356,15 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     the full wide candidate set (two int64 hashes per row) to remove the
     few multi-block collisions. Same measured lesson as the MinHash path
     (BENCH/DEDUP.md: pre-verify distinct shuffled 18.3M rows to drop 3%
-    dups); VERDICT r3 item 3."""
+    dups); VERDICT r3 item 3.
+
+    SCALE CAVEAT (measured, BENCH/DEDUP.md §SimHash): on vocabulary-skewed
+    / templated corpora the simhash bit signs are corpus-correlated and
+    the 16-bit blocks carry almost no entropy — 80k synthetic docs landed
+    in only 206 distinct buckets (max bucket 5,000), making the blocking
+    near-quadratic. Monitor ``groupBy(block_idx, block).count()`` before
+    trusting this operator on a new corpus; when buckets are degenerate,
+    MinHash+LSH (content banding) is the right dedup operator."""
     fp = simhash_df(docs, id_col, text_col).persist()
     blocks = fp.select(
         "doc_id",

@@ -236,6 +236,14 @@ def link_mentions(
     Default: broadcast hash join (dim is tiny). ``salt_buckets=N`` forces
     the salted repartition join used when the dim outgrows broadcast and a
     head alias skews a shuffle join.
+
+    Strategy matrix MEASURED on a 50%-hub-alias distribution (8M rows,
+    local[32], BENCH/SKEW.md): broadcast 1.49 s, salted ×32 1.66 s, plain
+    shuffle 2.47 s, AQE skew-join 2.55 s. Winning default: broadcast while
+    the dim fits; ``salt_buckets≈cores`` when it does not (the salt removes
+    the skew a priori and needs no size estimates); AQE skew-join is the
+    safety net for skew you did not anticipate, not the plan of record for
+    one you did.
     """
     m = mentions.withColumnRenamed("mention", "alias")
     if salt_buckets:

@@ -280,6 +280,32 @@ def ivf_build(
     )
 
 
+def ivf_build_table(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    table_dir: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """``ivf_build`` materialized as a snapshot-committed warehouse table
+    PARTITIONED BY cell — the 100 TB shape of the IVF index. Returns the
+    snapshot manifest (per-cell row counts = the inverted-list lengths,
+    for free from the parquet footers).
+
+    Why partition by cell: ``ivf_search``'s probe join is an equi-join on
+    the partition column, so Spark's dynamic partition pruning injects
+    the query batch's nprobe cell ids into the cells scan — at
+    n_centroids ≫ nprobe the executor reads ~nprobe/n_centroids of the
+    index from disk instead of all of it (pinned in
+    tests/test_corpus_ops.py::test_ivf_cells_table_partition_pruning).
+    Reload with ``sources.warehouse.read_table`` (readers only ever see a
+    committed snapshot)."""
+    from ..sources.warehouse import write_table
+
+    cells = ivf_build(corpus, centroids, corpus_id, vec_col)
+    return write_table(cells, table_dir, partition_by=["cell"])
+
+
 def ivf_search(
     queries: DataFrame,
     cells: DataFrame,

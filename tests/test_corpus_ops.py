@@ -500,3 +500,33 @@ def test_ivf_build_reuse_no_corpus_rescan(spark):
                for r in ivf_topk(q4, base, cents, k=3, nprobe=2).collect()}
     assert got == oneshot
     cells.unpersist()
+
+
+def test_ivf_cells_table_partition_pruning(spark, tmp_path):
+    """The 100 TB IVF shape: ivf_build_table commits the cells table
+    PARTITIONED BY cell (per-cell inverted-list lengths in the manifest
+    for free), and ivf_search's probe join — an equi-join on the
+    partition column — gets DYNAMIC PARTITION PRUNING injected into the
+    scan, so a query batch reads ~nprobe/n_centroids of the index.
+    Results equal the in-memory build."""
+    from bfokg.operators.similarity_search import (
+        ivf_build, ivf_build_table, ivf_centroids, ivf_search,
+    )
+    from bfokg.sources.warehouse import read_table
+
+    base = clustered_embs(spark)
+    cents = ivf_centroids(base, n_centroids=8, sample=48)
+    manifest = ivf_build_table(base, cents, str(tmp_path / "ivf_cells"))
+    assert set(manifest["partition_rows"]) <= {f"cell={i}" for i in range(8)}
+    assert sum(manifest["partition_rows"].values()) == base.count()
+
+    cells_t = read_table(spark, str(tmp_path / "ivf_cells"))
+    q = base.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_search(q, cells_t, cents, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan  # the cells scan is probe-pruned
+
+    mem = ivf_search(q, ivf_build(base, cents), cents, k=3, nprobe=2)
+    assert ({tuple(r) for r in out.collect()}
+            == {tuple(r) for r in mem.collect()})

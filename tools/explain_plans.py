@@ -29,7 +29,9 @@ PLAN_QUERIES = [
     "wikidata_canon",
     "embedding_topk",
     "embedding_lsh_dups",
+    "embedding_ivf_topk",
     "dedup_exact",
+    "minhash_lsh",
     "doc_cascade",
 ]
 

@@ -238,12 +238,14 @@ def link_mentions(
     head alias skews a shuffle join.
 
     Strategy matrix MEASURED on a 50%-hub-alias distribution (8M rows,
-    local[32], BENCH/SKEW.md): broadcast 1.49 s, salted ×32 1.66 s, plain
-    shuffle 2.47 s, AQE skew-join 2.55 s. Winning default: broadcast while
-    the dim fits; ``salt_buckets≈cores`` when it does not (the salt removes
-    the skew a priori and needs no size estimates); AQE skew-join is the
-    safety net for skew you did not anticipate, not the plan of record for
-    one you did.
+    local[32], BENCH/SKEW.md): broadcast 1.75 s, salted ×32 1.52 s, AQE
+    skew-join 1.49 s WHEN its split fires but 2.67 s at the stock
+    threshold (the hub key's rows compress so well the compressed-size
+    skew detection never triggers), plain shuffle 2.96 s. Winning
+    default: broadcast while the dim fits; ``salt_buckets≈cores`` for
+    skew you KNOW about (the salt needs no size estimates, which
+    compression can defeat); AQE skew-join as the safety net for skew you
+    did not anticipate.
     """
     m = mentions.withColumnRenamed("mention", "alias")
     if salt_buckets:

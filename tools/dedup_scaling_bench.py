@@ -86,9 +86,16 @@ def run(cpus: int) -> dict:
     raise RuntimeError(f"no RESULT line for cpus={cpus}:\n{out.stderr[-2000:]}")
 
 
+def _loadavg():
+    with open("/proc/loadavg") as f:
+        return [float(x) for x in f.read().split()[:3]]
+
+
 def main():
+    load_before = _loadavg()
     r8 = run(8)
     r32 = run(32)
+    load_after = _loadavg()
     tput8 = r8["docs"] / r8["sec"]
     tput32 = r32["docs"] / r32["sec"]
     eff = (tput32 / tput8) / 4
@@ -108,6 +115,7 @@ Fresh JVM per parallelism, warm-up, best of two.
 | local[32] | {r32['sec']:.3f} | {tput32:,.1f} |
 
 **Scaling efficiency** = (throughput@32 / throughput@8) / 4 = **{eff:.3f}**.
+loadavg before/after: {load_before} / {load_after}.
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "a") as f:

@@ -117,6 +117,7 @@ def write_table(
     partition_by: list[str] | None = None,
     parents: list[str] | None = None,
     mode: str = "overwrite",
+    keep_snapshots: int = 1,
 ) -> dict:
     """Partitioned parquet write + atomic snapshot-manifest commit.
 
@@ -125,13 +126,29 @@ def write_table(
     Row counts — total AND per partition — come from the parquet footers
     of the files the write just produced (one driver-side metadata pass,
     NO extra Spark job; VERDICT r2 item 8): ``manifest["rows"]`` and
-    ``manifest["partition_rows"]`` = {'part=v': n, ...}."""
+    ``manifest["partition_rows"]`` = {'part=v': n, ...}.
+
+    ``keep_snapshots=N`` retains the N−1 most recent SUPERSEDED snapshots
+    next to the current one (Iceberg's snapshot log): the manifest's
+    ``history`` records them newest-first and ``read_table(...,
+    snapshot="<id>")`` time-travels to any retained one. The default 1
+    keeps only the committed snapshot — prior data dirs are expired on
+    commit, exactly like ``expire_snapshots`` running at every write."""
+    prev = read_manifest(table_dir)
     snap = snapshot_id()
     data_dir = os.path.join(table_dir, f"data-{snap}")
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_dir)
+
+    history = []
+    if prev is not None:
+        history = [{k: prev[k] for k in
+                    ("snapshot_id", "data_dir", "rows", "committed_at")}]
+        history += prev.get("history", [])
+    history = history[: max(keep_snapshots - 1, 0)]
+    retained = {os.path.basename(h["data_dir"]) for h in history}
 
     rows, partition_rows = _footer_counts(data_dir)
     manifest = {
@@ -143,24 +160,42 @@ def write_table(
         "schema": df.schema.jsonValue(),
         "parents": parents or [],
         "committed_at": datetime.now(timezone.utc).isoformat(),
+        "history": history,
     }
     tmp = _manifest_path(table_dir) + f".tmp-{snap}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, _manifest_path(table_dir))  # atomic commit
-    # retire superseded snapshots (keep only the committed one)
+    # expire snapshots that fell off the history window
     for name in os.listdir(table_dir):
         full = os.path.join(table_dir, name)
-        if name.startswith("data-") and name != f"data-{snap}" and os.path.isdir(full):
+        if (name.startswith("data-") and name != f"data-{snap}"
+                and name not in retained and os.path.isdir(full)):
             shutil.rmtree(full, ignore_errors=True)
     return manifest
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+def read_table(spark: SparkSession, table_dir: str,
+               snapshot: str | None = None) -> DataFrame:
+    """Read the latest committed snapshot, or — ``snapshot="<id>"`` —
+    TIME-TRAVEL to a retained superseded one (``write_table(...,
+    keep_snapshots=N)``). Reading an expired/unknown snapshot id raises
+    with the retained ids listed (wrong-data is never silent)."""
     manifest = read_manifest(table_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed snapshot at {table_dir}")
-    return spark.read.parquet(manifest["data_dir"])
+    if snapshot is None or snapshot == manifest["snapshot_id"]:
+        return spark.read.parquet(manifest["data_dir"])
+    for h in manifest.get("history", []):
+        if h["snapshot_id"] == snapshot:
+            return spark.read.parquet(h["data_dir"])
+    known = [manifest["snapshot_id"]] + [
+        h["snapshot_id"] for h in manifest.get("history", [])
+    ]
+    raise KeyError(
+        f"snapshot {snapshot!r} not retained at {table_dir} "
+        f"(retained: {known}; raise keep_snapshots to keep more)"
+    )
 
 
 class LineageLog:

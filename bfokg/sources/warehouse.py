@@ -13,7 +13,10 @@ plain parquet + JSON manifests:
   the manifest rename is the commit point).
 - ``is_committed`` / ``resume`` semantics — a pipeline stage whose
   snapshot manifest exists is skipped on re-run, giving idempotent,
-  checkpoint-resumable DAGs (tested in tests/test_warehouse_resume.py).
+  checkpoint-resumable DAGs (tested in tests/test_pipeline.py:
+  test_pipeline_end_to_end_and_resume / test_resume_after_partial_failure).
+- snapshot log + time travel — ``write_table(keep_snapshots=N)`` /
+  ``read_table(snapshot=...)`` (test_snapshot_history_time_travel).
 
 On a real cluster every call here maps 1:1 onto Iceberg:
 write_table → ``df.writeTo(t).partitionedBy(...).createOrReplace()``;

@@ -1962,6 +1962,40 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive duplicate clusters (the keep/drop tail
+    of the dedup pipeline): min-label propagation over the SAME MinHash
+    pair set as q_minhash_lsh. The DuckDB oracle recomputes the pairs via
+    the crc32 replay and walks reachability with a recursive CTE, so the
+    component structure is hash-checked end-to-end."""
+    from bfokg.operators.dedup import dedup_components, minhash_lsh_pairs
+    from bfokg.util import attach_cleanup
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+    comp = dedup_components(pairs)
+    return attach_cleanup(comp, *getattr(pairs, "_bfokg_cached", ()))
+
+
+def _sql_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_minhash_lsh()}),
+comp_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM comp_edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN comp_edges e ON r.dst = e.src
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM comp_edges)
+SELECT n.doc_id, least(n.doc_id, min(r.dst)) AS component_id
+FROM nodes n JOIN reach r ON r.src = n.doc_id
+GROUP BY n.doc_id
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits)."""
     from bfokg.operators.dedup import simhash_near_dups
@@ -2357,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,                  # crc32-replayed, oracle
+        "dedup_components": q_dedup_components,        # pairs→clusters, oracle
         "simhash": q_simhash,                          # crc32-replayed, oracle
         "doc_stats": q_doc_stats,
         "doc_semantic": q_doc_semantic,                # rows-only (kernel)
@@ -2403,6 +2438,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_lsh": _sql_minhash_lsh(),
+        "dedup_components": _sql_dedup_components(),
         "simhash": _sql_simhash(),
         "kg_nodes_canon": _sql_kg_nodes_canon(),
         "eval_rule_accuracy": _sql_eval_rule_accuracy(),

@@ -61,6 +61,98 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-dup PAIRS → transitive duplicate CLUSTERS:
+    (doc_id, component_id) where component_id = min doc id reachable
+    through the pair graph. The missing tail of every dedup pipeline:
+    MinHash/SimHash/embedding operators emit pairs, but the keep/drop
+    decision needs components (A~B, B~C ⇒ {A,B,C} is ONE cluster even
+    though (A,C) was never emitted).
+
+    Iterative min-label propagation — each round joins current labels
+    across the (undirected) edge set and takes the per-node min; the min
+    label spreads one hop per round, so rounds = cluster diameter (small
+    for dup clusters by construction; ``max_iter`` is a guard, raising
+    if the graph hasn't converged). Same scale discipline as
+    ontology.build_closure: each round's frame is localCheckpointed so
+    the plan doesn't accrete round history, and convergence is checked
+    with one tiny aggregate per round. Shuffle per round is
+    O(|edges| + |nodes in pairs|) — at 10^9 docs with a few percent dup
+    rate this is orders below the pair-generation stage it follows.
+    Nodes appearing in no pair are their own singleton components and are
+    NOT emitted (join back against the corpus for a full keep-list, or
+    use ``dedup_keep_list``)."""
+    edges_ab = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges_ab.unionByName(
+            edges_ab.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"dedup_components did not converge in {max_iter} rounds "
+        "(pair graph diameter exceeds max_iter — raise it)"
+    )
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, keeper_id, is_keeper) over the FULL corpus: every doc
+    maps to its component's min id (itself when it has no near-dup).
+    ``docs.where(F.col("is_keeper"))`` is the deduplicated corpus;
+    non-keepers are the drop set. One broadcast-or-shuffle left join of
+    the corpus against the (small) component table."""
+    comp = dedup_components(pairs, id_a, id_b)
+    out = docs.select(F.col(id_col).alias("doc_id")).join(comp, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("keeper_id"),
+    ).withColumn("is_keeper", F.col("doc_id") == F.col("keeper_id"))
+
+
 # -------------------------------------------------------- ngram jaccard --
 
 

@@ -261,6 +261,32 @@ def test_path_cleanup_deletes_through_hadoop_fs(spark, tmp_path):
     assert not scratch.exists()
 
 
+def test_dedup_components_and_keep_list(spark):
+    """Pairs → transitive clusters (min-label propagation): a 5-node CHAIN
+    (diameter 4, forcing multiple propagation rounds) collapses to one
+    component rooted at its min id even though most pairs were never
+    emitted; disjoint clusters stay disjoint; the keep-list covers the
+    full corpus with singletons as their own keepers."""
+    from bfokg.operators.dedup import dedup_components, dedup_keep_list
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (emitted as adjacent pairs only) + cluster {10,11}
+        [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r.doc_id: r.component_id for r in dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]],
+                                 "doc_id long")
+    keep = {r.doc_id: (r.keeper_id, r.is_keeper)
+            for r in dedup_keep_list(docs, pairs).collect()}
+    assert keep[99] == (99, True)         # singleton: its own keeper
+    assert keep[1] == (1, True) and keep[5] == (1, False)
+    assert keep[10] == (10, True) and keep[11] == (10, False)
+    assert sum(1 for _, (k, is_k) in keep.items() if is_k) == 3
+
+
 def test_textstats(spark):
     d = docs(spark).select(
         "doc_id",

@@ -1498,6 +1498,58 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Y4M video decode + frame sampling under the driver gate
+    (video twin of q_audio_features): every document's text becomes a
+    6-frame 4×4 C444 YUV4MPEG2 stream — constant header
+    ``YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444`` + six ``FRAME`` chunks whose
+    planes are the ASCII-sanitized chars — and the numpy Y4M parser
+    (multimodal._decode_y4m) extracts dims/fps/frames/duration and the
+    mean luma of every 2nd frame. The oracle recomputes each feature from
+    the same 288 characters in DuckDB, hash-checking the byte-layout
+    parser AND the frame-sampling arithmetic."""
+    from bfokg.operators.multimodal import extract_video_features
+
+    header = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n"
+    body = F.rpad(
+        F.substring(F.regexp_replace("text", "[^ -~]", " "), 1, 288), 288, " "
+    )
+    frames = [
+        F.concat(F.lit(b"FRAME\n"),
+                 F.encode(F.substring(body, i * 48 + 1, 48), "utf-8"))
+        for i in range(6)
+    ]
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit(header), *frames).alias("payload"),
+        F.lit("video/x-yuv4mpeg").alias("mime"),
+    )
+    return extract_video_features(d, frame_step=2).select(
+        "doc_id", "width", "height", F.round("fps", 6).alias("fps"),
+        "n_frames", F.round("duration_sec", 6).alias("duration_sec"),
+        "n_sampled", F.round("mean_luma", 6).alias("mean_luma"),
+        "decode_ok",
+    )
+
+
+SQL_VIDEO_FEATURES = """
+WITH clean AS (
+  SELECT doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', ' ', 'g'), 1, 288),
+              288, ' ') AS body
+  FROM documents)
+SELECT doc_id, 4 AS width, 4 AS height, round(25.0, 6) AS fps,
+       6 AS n_frames, round(6.0 / 25.0, 6) AS duration_sec,
+       3 AS n_sampled,
+       round(list_avg(flatten(list_transform([0, 2, 4], i ->
+                 list_transform(range(1, 17),
+                                j -> ascii(body[CAST(i * 48 + j AS BIGINT)]) / 255.0)))),
+             6) AS mean_luma,
+       TRUE AS decode_ok
+FROM clean
+"""
+
+
 SQL_AUDIO_FEATURES = """
 WITH clean AS (
   SELECT doc_id,
@@ -2412,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "image_features": q_image_features,            # real PNM decode, oracle
         "audio_features": q_audio_features,            # real WAV PCM decode, oracle
+        "video_features": q_video_features,            # real Y4M decode + frame sampling, oracle
         # relational operator demos
         "pricing_summary": q_pricing_summary,
         "customer_nation_revenue": q_customer_nation_revenue,
@@ -2457,6 +2510,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": SQL_MULTIMODAL_META,
         "image_features": SQL_IMAGE_FEATURES,
         "audio_features": SQL_AUDIO_FEATURES,
+        "video_features": SQL_VIDEO_FEATURES,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "customer_nation_revenue": SQL_CUSTOMER_NATION_REVENUE,
         "events_topn": SQL_EVENTS_TOPN,

@@ -407,6 +407,46 @@ def test_audio_decode_real_wav(spark):
     assert not feats[5].decode_ok
 
 
+def test_video_decode_real_y4m(spark):
+    """Y4M payloads decode for REAL (numpy YUV4MPEG2 parser): header
+    parse, C444 and C420 plane sizes, every-k-th frame sampling with
+    known luma values, truncated-frame and non-Y4M poison pills."""
+    from bfokg.operators.multimodal import _decode_y4m, extract_video_features
+
+    def y4m(cs, frames, w=2, h=2):
+        sizes = {"444": 3 * w * h, "420": w * h + (w * h) // 2}
+        head = f"YUV4MPEG2 W{w} H{h} F10:1 Ip A1:1 C{cs}\n".encode()
+        body = b"".join(
+            b"FRAME\n" + bytes([y] * (w * h))
+            + bytes([128] * (sizes[cs] - w * h))
+            for y in frames
+        )
+        return head + body
+
+    # frames with Y = 0, 100, 200 → step 2 samples frames 0 and 2
+    p = y4m("444", [0, 100, 200])
+    d = _decode_y4m(p, frame_step=2)
+    assert (d["width"], d["height"], d["fps"], d["n_frames"]) == (2, 2, 10.0, 3)
+    assert abs(d["duration_sec"] - 0.3) < 1e-12
+    assert d["n_sampled"] == 2
+    assert abs(d["mean_luma"] - (0 + 200) / 2 / 255.0) < 1e-12
+    # frame_step=1 samples every frame
+    assert abs(_decode_y4m(p, 1)["mean_luma"] - 100 / 255.0) < 1e-12
+    # C420 plane size honored
+    assert _decode_y4m(y4m("420", [50, 50]), 1)["n_frames"] == 2
+
+    rows = [
+        (1, p, "video/x-yuv4mpeg"),
+        (2, p[:-3], "video/x-yuv4mpeg"),   # truncated last frame
+        (3, b"not video", "video/mp4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
+    feats = {r.doc_id: r for r in extract_video_features(df).collect()}
+    assert feats[1].decode_ok and feats[1].n_frames == 3
+    assert not feats[2].decode_ok
+    assert not feats[3].decode_ok
+
+
 def test_lsh_topk_multi_probe_radius2(spark):
     """Hamming-2 multi-probe: pair sets are nested supersets as the probe
     radius grows (r0 ⊆ r1 ⊆ r2 with k == corpus size), recall@1 of the

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "hierarchical",
     "dedup_exact",
     "minhash_lsh",
+    "dedup_components",
     "doc_stats",
     "doc_semantic",
     "doc_hierarchy",
@@ -50,6 +51,7 @@ BENCH_QUERIES = [
     "embedding_ivf_topk",
     "image_features",
     "audio_features",
+    "video_features",
     "pricing_summary",
     "customer_nation_revenue",
     "events_topn",

@@ -407,6 +407,29 @@ def test_audio_decode_real_wav(spark):
     assert not feats[5].decode_ok
 
 
+def test_dedup_components_random_graphs_match_union_find(spark):
+    """dedup_components == a reference union-find on seeded random pair
+    graphs (varied density, incl. self-loop-free multi-edges and isolated
+    chains) — the label-propagation loop's convergence and min-id
+    semantics hold beyond hand-built shapes."""
+    import random
+
+    from bfokg.operators.dedup import dedup_components
+    from tests.test_kernel_properties import _uf_components
+
+    for seed, n_nodes, n_edges in [(1, 20, 8), (2, 30, 30), (3, 12, 40)]:
+        rng = random.Random(seed)
+        edges = []
+        while len(edges) < n_edges:
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                edges.append((a, b))
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.doc_id: r.component_id
+               for r in dedup_components(pairs).collect()}
+        assert got == _uf_components(edges), (seed, edges)
+
+
 def test_video_decode_real_y4m(spark):
     """Y4M payloads decode for REAL (numpy YUV4MPEG2 parser): header
     parse, C444 and C420 plane sizes, every-k-th frame sampling with

@@ -95,3 +95,58 @@ def test_vectorized_crc32_matches_zlib(tokens):
     stepped = crc32_step(crc32_states(tokens), ord("#")) ^ _INIT
     want2 = np.array([crc32((t + "#").encode()) for t in tokens], dtype=np.uint32)
     assert (stepped == want2).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sampled_from(["444", "422", "420", "mono"]),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=4),
+    st.lists(st.lists(st.integers(min_value=0, max_value=255),
+                      min_size=1, max_size=1).map(lambda v: v[0]),
+             min_size=0, max_size=6),
+    st.integers(min_value=1, max_value=3),
+)
+def test_y4m_decode_roundtrip_property(cs, w2, h2, frame_lumas, step):
+    """Build a Y4M payload from known per-frame constant lumas, decode it
+    with the numpy parser, and check every reported field including the
+    sampled-frame mean — over all four colourspaces, sizes, frame counts
+    (incl. zero frames) and sampling steps."""
+    from bfokg.operators.multimodal import _decode_y4m
+
+    w, h = 2 * w2, 2 * h2  # even dims keep 420/422 plane sizes exact
+    ysize = w * h
+    fsize = {"444": 3 * ysize, "422": 2 * ysize,
+             "420": ysize + ysize // 2, "mono": ysize}[cs]
+    head = f"YUV4MPEG2 W{w} H{h} F24:1 Ip A1:1 C{cs}\n".encode()
+    payload = head + b"".join(
+        b"FRAME\n" + bytes([y] * ysize) + bytes([128] * (fsize - ysize))
+        for y in frame_lumas
+    )
+    d = _decode_y4m(payload, frame_step=step)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["fps"] == 24.0 and d["n_frames"] == len(frame_lumas)
+    assert abs(d["duration_sec"] - len(frame_lumas) / 24.0) < 1e-12
+    sampled = frame_lumas[::step]
+    assert d["n_sampled"] == len(sampled)
+    want = (sum(sampled) / len(sampled) / 255.0) if sampled else 0.0
+    assert abs(d["mean_luma"] - want) < 1e-9
+    assert d["decode_ok"]
+
+
+def _uf_components(edges):
+    """Reference union-find (pure python) for the property test."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}

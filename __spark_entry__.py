@@ -1498,6 +1498,45 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize under the driver gate (the
+    brief's resize slot): each document's first 16 sanitized chars become
+    a 4×4 PGM, multimodal.resize_images re-encodes it at 2×2 (NN picks
+    rows/cols {0,2} → byte indices 0,2,8,10), and the query emits the
+    sha-256 of the RESIZED PAYLOAD BYTES — the oracle rebuilds the exact
+    output file ('P5 2 2 255\\n' + the 4 selected chars) in DuckDB and
+    hashes it, so the whole decode→transform→re-encode path is
+    byte-exact hash-checked."""
+    from bfokg.operators.multimodal import resize_images
+
+    body = F.rpad(
+        F.substring(F.regexp_replace("text", "[^ -~]", " "), 1, 16), 16, " "
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit(b"P5 4 4 255\n"), F.encode(body, "utf-8")).alias("payload"),
+        F.lit("image/x-portable-graymap").alias("mime"),
+    )
+    return resize_images(d, 2, 2).select(
+        "doc_id", "width", "height",
+        F.sha2("payload", 256).alias("payload_sha"), "decode_ok",
+    )
+
+
+SQL_IMAGE_RESIZE = """
+WITH clean AS (
+  SELECT doc_id,
+         rpad(substr(regexp_replace(text, '[^ -~]', ' ', 'g'), 1, 16),
+              16, ' ') AS body
+  FROM documents)
+SELECT doc_id, 2 AS width, 2 AS height,
+       sha256('P5 2 2 255' || chr(10)
+              || body[1] || body[3] || body[9] || body[11]) AS payload_sha,
+       TRUE AS decode_ok
+FROM clean
+"""
+
+
 def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Y4M video decode + frame sampling under the driver gate
     (video twin of q_audio_features): every document's text becomes a
@@ -2465,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,            # real PNM decode, oracle
         "audio_features": q_audio_features,            # real WAV PCM decode, oracle
         "video_features": q_video_features,            # real Y4M decode + frame sampling, oracle
+        "image_resize": q_image_resize,                # NN resize, output bytes sha-checked
         # relational operator demos
         "pricing_summary": q_pricing_summary,
         "customer_nation_revenue": q_customer_nation_revenue,
@@ -2511,6 +2551,7 @@ def oracle_sql() -> dict[str, str]:
         "image_features": SQL_IMAGE_FEATURES,
         "audio_features": SQL_AUDIO_FEATURES,
         "video_features": SQL_VIDEO_FEATURES,
+        "image_resize": SQL_IMAGE_RESIZE,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "customer_nation_revenue": SQL_CUSTOMER_NATION_REVENUE,
         "events_topn": SQL_EVENTS_TOPN,

@@ -79,8 +79,9 @@ def _decode_bmp(payload: bytes) -> dict:
             "mean_luma": float(luma.mean() / 255.0), "decode_ok": True}
 
 
-def _decode_pnm(payload: bytes) -> dict:
-    """Binary PPM (P6, RGB) / PGM (P5, grayscale)."""
+def _pnm_pixels(payload: bytes):
+    """Binary PPM (P6, RGB) / PGM (P5, grayscale) → (H×W×C uint8 array).
+    Shared by the feature decoder and the resize kernel."""
     magic = payload[:2]
     if magic not in (b"P5", b"P6"):
         raise ValueError("not a binary PNM")
@@ -104,12 +105,73 @@ def _decode_pnm(payload: bytes) -> dict:
     n_ch = 3 if magic == b"P6" else 1
     n = width * height * n_ch
     px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    if len(px) < n:
+        raise ValueError("truncated PNM body")
+    return px.reshape(height, width, n_ch)
+
+
+def _decode_pnm(payload: bytes) -> dict:
+    """Binary PPM (P6, RGB) / PGM (P5, grayscale)."""
+    arr = _pnm_pixels(payload)
+    height, width, n_ch = arr.shape
     if n_ch == 3:
-        luma = px.reshape(height, width, 3).astype(np.float64) @ _LUMA
+        luma = arr.astype(np.float64) @ _LUMA
     else:
-        luma = px.astype(np.float64)
+        luma = arr[:, :, 0].astype(np.float64)
     return {"width": width, "height": height, "n_channels": n_ch,
             "mean_luma": float(luma.mean() / 255.0), "decode_ok": True}
+
+
+def resize_pnm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a binary PNM payload, re-encoded in the
+    same format (header ``P5|P6 <w> <h> 255\\n`` + raw bytes). Index map
+    is the standard floor(i·in/out) — fully deterministic, so an external
+    engine can reproduce the OUTPUT BYTES exactly (the driver oracle
+    sha-checks them)."""
+    arr = _pnm_pixels(payload)
+    height, width, n_ch = arr.shape
+    if out_w < 1 or out_h < 1:
+        raise ValueError("bad target size")
+    rows = (np.arange(out_h) * height) // out_h
+    cols = (np.arange(out_w) * width) // out_w
+    out = np.ascontiguousarray(arr[rows][:, cols])
+    magic = b"P6" if n_ch == 3 else b"P5"
+    return magic + f" {out_w} {out_h} 255\n".encode() + out.tobytes()
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, mime string, width int, height int, payload binary, "
+    "decode_ok boolean"
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  id_col: str = "doc_id", payload_col: str = "payload",
+                  mime_col: str = "mime") -> DataFrame:
+    """The brief's image RESIZE slot, real not stubbed (for the formats
+    with real decoders): Arrow-batched nearest-neighbor resize emitting a
+    re-encoded binary payload column — the transform shape of a
+    multimodal curation pipeline (decode → transform → re-encode), same
+    poison-pill isolation as the decoders."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, mime in zip(pdf[id_col], pdf[payload_col], pdf[mime_col]):
+                try:
+                    out = resize_pnm(bytes(payload or b""), out_w, out_h)
+                    rows.append({"doc_id": doc_id, "mime": mime,
+                                 "width": out_w, "height": out_h,
+                                 "payload": out, "decode_ok": True})
+                except Exception:  # noqa: BLE001 — poison-pill isolation
+                    rows.append({"doc_id": doc_id, "mime": mime,
+                                 "width": None, "height": None,
+                                 "payload": None, "decode_ok": False})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col, mime_col).mapInPandas(
+        kernel, RESIZED_SCHEMA
+    )
 
 
 def decode_image_kernel(payload: bytes, mime: str) -> dict:

@@ -407,6 +407,29 @@ def test_audio_decode_real_wav(spark):
     assert not feats[5].decode_ok
 
 
+def test_image_resize_nearest_neighbor(spark):
+    """resize_pnm picks floor(i·in/out) pixels and re-encodes byte-exact:
+    4×4→2×2 PGM keeps indices {0,2,8,10}; upscale 2×2→4×4 repeats each
+    pixel 2×2; P6 keeps channel triples together; corrupt → degrade."""
+    from bfokg.operators.multimodal import resize_images, resize_pnm
+
+    pgm = b"P5 4 4 255\n" + bytes(range(16))
+    assert resize_pnm(pgm, 2, 2) == b"P5 2 2 255\n" + bytes([0, 2, 8, 10])
+    up = resize_pnm(b"P5 2 2 255\n" + bytes([1, 2, 3, 4]), 4, 4)
+    assert up == b"P5 4 4 255\n" + bytes(
+        [1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4])
+    ppm = b"P6 2 1 255\n" + bytes([10, 20, 30, 40, 50, 60])
+    assert resize_pnm(ppm, 1, 1) == b"P6 1 1 255\n" + bytes([10, 20, 30])
+
+    d = spark.createDataFrame(
+        [(1, pgm, "image/x-pgm"), (2, b"nope", "image/x-pgm")],
+        "doc_id long, payload binary, mime string",
+    )
+    rows = {r.doc_id: r for r in resize_images(d, 2, 2).collect()}
+    assert bytes(rows[1].payload) == b"P5 2 2 255\n" + bytes([0, 2, 8, 10])
+    assert rows[1].decode_ok and not rows[2].decode_ok
+
+
 def test_dedup_components_random_graphs_match_union_find(spark):
     """dedup_components == a reference union-find on seeded random pair
     graphs (varied density, incl. self-loop-free multi-edges and isolated

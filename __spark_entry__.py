@@ -2453,8 +2453,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order matters: the driver's CORRECTNESS artifact records at
+    most 50 entries in registry order, so ALL oracle-backed queries come
+    first (47 as of round 5) and the rows-only float32 production twins —
+    each semantically pinned by a hash-checked float64 ``*_exact`` sibling
+    above — are listed last (VERDICT r4 item 1).
+    """
     return {
-        # reference parity (SURVEY.md §2)
+        # reference parity (SURVEY.md §2) — all oracle-backed
         "entity_text": q_entity_text,                  # P1/P5/P6
         "keyword_scores": q_keyword_scores,            # P3/P4
         "rule_based": q_rule_based,                    # J1/J2
@@ -2465,34 +2471,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_confidence": q_hybrid_confidence,      # A2/C3
         "cascade_trace": q_cascade_trace,              # C1
         "wikidata_canon": q_wikidata_canon,            # P31/P279 closure canon
-        "semantic_matches": q_semantic_matches,        # M1/M2/T1/P7 (rows-only)
-        "zeroshot_matches": q_zeroshot_matches,        # M3/P8/P9 (rows-only)
-        "cascade_assignments": q_cascade_assignments,  # C1 full (rows-only)
-        "hierarchical": q_hierarchical,                # C5 (rows-only)
-        # transcripts KG pipeline (north_rule)
+        # transcripts KG pipeline (north_rule) — oracle-backed
         "transcripts_scan": q_transcripts_scan,
         "mentions": q_mentions,
         "linked_mentions": q_linked_mentions,
         "triples_raw": q_triples_raw,
         "edges": q_edges,
-        "kg_nodes": q_kg_nodes,                        # rows-only
         "kg_nodes_canon": q_kg_nodes_canon,            # pipeline tail, oracle
         "eval_rule_accuracy": q_eval_rule_accuracy,    # A3/A4 evaluator oracle
-        # training-data / corpus operators
+        # training-data / corpus operators — oracle-backed
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,                  # crc32-replayed, oracle
         "dedup_components": q_dedup_components,        # pairs→clusters, oracle
         "simhash": q_simhash,                          # crc32-replayed, oracle
         "doc_stats": q_doc_stats,
-        "doc_semantic": q_doc_semantic,                # rows-only (kernel)
         "doc_semantic_exact": q_doc_semantic_exact,    # kernel math, oracle
         "semantic_matches_exact": q_semantic_matches_exact,  # top-3 kernel oracle
         "zeroshot_matches_exact": q_zeroshot_matches_exact,  # softmax scorer oracle
         "cascade_exact": q_cascade_exact,              # full cascade, oracle
         "hierarchical_exact": q_hierarchical_exact,    # recursive-CTE walk oracle
-        "doc_hierarchy": q_doc_hierarchy,              # rows-only (kernel)
-        "doc_cascade": q_doc_cascade,                  # rows-only (SF-prop cascade)
         "doc_hierarchy_exact": q_doc_hierarchy_exact,  # doc-scale walk, oracle
         "doc_cascade_exact": q_doc_cascade_exact,      # doc-scale cascade, oracle
         "embedding_topk": q_embedding_topk,
@@ -2505,7 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,            # real WAV PCM decode, oracle
         "video_features": q_video_features,            # real Y4M decode + frame sampling, oracle
         "image_resize": q_image_resize,                # NN resize, output bytes sha-checked
-        # relational operator demos
+        # relational operator demos — oracle-backed
         "pricing_summary": q_pricing_summary,
         "customer_nation_revenue": q_customer_nation_revenue,
         "events_topn": q_events_topn,
@@ -2513,6 +2511,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "customers_without_orders": q_customers_without_orders,
         "set_ops": q_set_ops,
+        # rows-only float32 production twins (semantics pinned by the
+        # hash-checked float64 *_exact oracles above) — keep LAST
+        "semantic_matches": q_semantic_matches,        # M1/M2/T1/P7 (rows-only)
+        "zeroshot_matches": q_zeroshot_matches,        # M3/P8/P9 (rows-only)
+        "cascade_assignments": q_cascade_assignments,  # C1 full (rows-only)
+        "hierarchical": q_hierarchical,                # C5 (rows-only)
+        "kg_nodes": q_kg_nodes,                        # rows-only
+        "doc_semantic": q_doc_semantic,                # rows-only (kernel)
+        "doc_hierarchy": q_doc_hierarchy,              # rows-only (kernel)
+        "doc_cascade": q_doc_cascade,                  # rows-only (SF-prop cascade)
     }
 
 

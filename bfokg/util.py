@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -35,13 +37,20 @@ class PathCleanup:
     files: unlike unpersisting a cached frame (which merely recomputes on
     re-use), a released parquet-backed result must not be consumed again.
 
-    Deletion goes through the Hadoop FileSystem API when a SparkSession is
-    supplied, so scratch dirs landing under a NON-LOCAL configured
-    checkpoint dir (hdfs://, s3a:// on a real cluster) are actually
-    removed — a driver-local ``shutil.rmtree`` silently no-ops on those
-    and leaks the signature table on shared storage (ADVICE r3 #4).
-    ``shutil`` remains the fallback for plain local paths / dead sessions.
+    Deletion goes through the Hadoop FileSystem API only for
+    SCHEME-QUALIFIED paths (``hdfs://``, ``s3a://``, ``file:/`` — scratch
+    dirs landing under a non-local configured checkpoint dir on a real
+    cluster), so they are actually removed — a driver-local
+    ``shutil.rmtree`` silently no-ops on those and leaks the signature
+    table on shared storage (ADVICE r3 #4). Bare local paths (tempfile
+    scratch dirs) delete with ``shutil`` DIRECTLY: resolving them through
+    Hadoop's default filesystem would, in a local-master session whose
+    fs.defaultFS points at a remote FS (e.g. an inherited
+    HADOOP_CONF_DIR), target a same-named REMOTE path and leak the local
+    dir (ADVICE r4 #2). An explicit scheme carries no such ambiguity.
     """
+
+    _SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
     def __init__(self, path: str, spark=None):
         self.path = path
@@ -50,7 +59,7 @@ class PathCleanup:
     def unpersist(self, blocking: bool = False):
         import shutil
 
-        if self.spark is not None:
+        if self._SCHEME.match(self.path) and self.spark is not None:
             try:
                 jvm = self.spark._jvm
                 jpath = jvm.org.apache.hadoop.fs.Path(self.path)
@@ -61,7 +70,7 @@ class PathCleanup:
                 return
             except Exception:
                 pass  # dead JVM / unreachable FS → best-effort local delete
-        shutil.rmtree(self.path, ignore_errors=True)
+        shutil.rmtree(re.sub(r"^file:(//)?", "", self.path), ignore_errors=True)
 
 
 def release_intermediates(df: DataFrame, blocking: bool = False) -> int:

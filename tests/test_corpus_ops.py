@@ -261,6 +261,31 @@ def test_path_cleanup_deletes_through_hadoop_fs(spark, tmp_path):
     assert not scratch.exists()
 
 
+def test_path_cleanup_bare_local_path_never_touches_hadoop_fs(tmp_path):
+    """ADVICE r4 #2: a scheme-LESS local path (tempfile scratch dir) must
+    be deleted with shutil directly — routing it through Hadoop's default
+    filesystem would, under an inherited remote fs.defaultFS, delete a
+    same-named REMOTE dir and leak the local one. Pinned by handing
+    PathCleanup a 'session' whose JVM accessor explodes: bare paths must
+    still delete cleanly because the Hadoop branch is never consulted."""
+    from bfokg.util import PathCleanup
+
+    class _JvmRecorder:
+        touched = False
+
+        @property
+        def _jvm(self):
+            type(self).touched = True
+            raise RuntimeError("simulated unreachable JVM")
+
+    scratch = tmp_path / "bfokg_bare_scratch"
+    scratch.mkdir()
+    (scratch / "part-0.parquet").write_bytes(b"x")
+    PathCleanup(str(scratch), _JvmRecorder()).unpersist()
+    assert not scratch.exists()
+    assert not _JvmRecorder.touched
+
+
 def test_dedup_components_and_keep_list(spark):
     """Pairs → transitive clusters (min-label propagation): a 5-node CHAIN
     (diameter 4, forcing multiple propagation rounds) collapses to one

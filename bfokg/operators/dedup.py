@@ -491,7 +491,9 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      preflight: str = "warn",
+                      max_candidate_ratio: float = 32.0) -> DataFrame:
     """Candidate pairs by identical 16-bit prefix in any of 4 rotations
     (any pair within Hamming ≤ 3 of 64 bits shares at least one of 4
     16-bit blocks by pigeonhole), verified by exact popcount.
@@ -508,9 +510,19 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     / templated corpora the simhash bit signs are corpus-correlated and
     the 16-bit blocks carry almost no entropy — 80k synthetic docs landed
     in only 206 distinct buckets (max bucket 5,000), making the blocking
-    near-quadratic. Monitor ``groupBy(block_idx, block).count()`` before
-    trusting this operator on a new corpus; when buckets are degenerate,
-    MinHash+LSH (content banding) is the right dedup operator."""
+    near-quadratic. A 100 TB run hitting that blowup should die in
+    seconds, not hours, so a PRE-FLIGHT GUARD (one small aggregate over
+    the bucket histogram, cost O(|blocks|) with map-side combine) runs
+    before the candidate join: it computes the exact candidate-pair count
+    Σ c·(c−1)/2 the blocking would emit and compares it to
+    ``max_candidate_ratio`` × n_docs. ``preflight="warn"`` (default)
+    emits a ``UserWarning`` with the histogram stats and proceeds;
+    ``"strict"`` raises ``ValueError`` instead — the right setting for
+    unattended cluster jobs; ``"off"`` skips the aggregate (and its eager
+    job) entirely. When the guard trips, MinHash+LSH (content banding) is
+    the right dedup operator for that corpus."""
+    if preflight not in ("warn", "strict", "off"):
+        raise ValueError(f"preflight must be warn|strict|off, got {preflight!r}")
     fp = simhash_df(docs, id_col, text_col).persist()
     blocks = fp.select(
         "doc_id",
@@ -524,6 +536,36 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
             )
         ).alias("block_idx", "block"),
     )
+    if preflight != "off":
+        stats = (
+            blocks.groupBy("block_idx", "block")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                (F.sum(F.col("c") * (F.col("c") - 1)) / 2).alias("cand_pairs"),
+                F.max("c").alias("max_bucket"),
+                F.count("*").alias("n_buckets"),
+                (F.sum("c") / 4).alias("n_docs"),
+            )
+            .first()
+        )
+        if stats.n_docs and stats.cand_pairs > max_candidate_ratio * stats.n_docs:
+            msg = (
+                "simhash_near_dups pre-flight: degenerate bucket histogram — "
+                f"{int(stats.n_buckets)} buckets over {int(stats.n_docs)} docs "
+                f"(max bucket {int(stats.max_bucket)}) would emit "
+                f"{int(stats.cand_pairs)} candidate pairs "
+                f"({stats.cand_pairs / stats.n_docs:.1f}x docs, limit "
+                f"{max_candidate_ratio}x). The corpus is too low-entropy for "
+                "simhash 16-bit blocking (templated / vocabulary-skewed "
+                "text); use minhash_lsh_pairs instead, or raise "
+                "max_candidate_ratio if the blowup is intended."
+            )
+            if preflight == "strict":
+                fp.unpersist()
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
     cand = (
         blocks.alias("x")
         .join(blocks.alias("y"), ["block_idx", "block"])

@@ -2196,8 +2196,11 @@ def _sql_embedding_ivf_topk(n_centroids: int = 8, sample: int = 64,
                             nprobe: int = 2) -> str:
     """DuckDB oracle for q_embedding_ivf_topk: centroids recomputed with
     the SAME `_lloyd` numpy core from the same parquet sample (first 64
-    vec_ids) and inlined as VALUES; cell assignment (round(dot/norm, 9),
-    tiebreak cell ASC) and nprobe probing replayed in SQL.
+    vec_ids in seeded-hash order — zlib.crc32(str(id)) == Spark's
+    crc32(cast(id as string)), tiebreak id — matching
+    ivf_centroids' bias-free sampling, VERDICT r4) and inlined as VALUES;
+    cell assignment (round(dot/norm, 9), tiebreak cell ASC) and nprobe
+    probing replayed in SQL.
 
     The sample is read from ORACLE_SF_DIR (the dir the gate registers its
     DuckDB views from — tools/check_oracles.py exports the same env
@@ -2213,7 +2216,12 @@ def _sql_embedding_ivf_topk(n_centroids: int = 8, sample: int = 64,
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     ).to_pydict()
-    order = sorted(range(len(tbl["vec_id"])), key=lambda i: tbl["vec_id"][i])[:sample]
+    from zlib import crc32 as _crc32
+
+    order = sorted(
+        range(len(tbl["vec_id"])),
+        key=lambda i: (_crc32(str(tbl["vec_id"][i]).encode()), tbl["vec_id"][i]),
+    )[:sample]
     cents = _lloyd([list(tbl["embedding"][i]) for i in order], n_centroids, 5)
     cent_values = ", ".join(
         "({}, [{}])".format(i, ", ".join(repr(x) for x in c))

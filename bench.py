@@ -172,6 +172,41 @@ def main():
         sf1["minhash_docs_x32_docs"] = n_docs32
         sf1["minhash_docs_x32_pairs"] = n_pairs
         sf1["minhash_docs_per_sec"] = round(n_docs32 / best, 1)
+
+        # classifier-family comparator (VERDICT r4 item 7): the cascade
+        # kernel family (rule_based keyword stage → semantic TF-IDF on the
+        # residue) over the sf0.1 documents amplified ×32 VERBATIM — ids
+        # disambiguated, text unchanged, because classification is per-doc
+        # (a copy costs exactly what a distinct doc costs) and the
+        # token-suffixed dedup amplification would blind the keyword and
+        # vocab kernels. One stable ~160k-doc round-over-round row for the
+        # mapInPandas kernel family next to the shuffle-family rows above.
+        from bfokg.operators.strategies import cascade
+        from bfokg.plans.pipeline import default_classifiers
+
+        docs32c = (
+            base_docs.crossJoin(copies)
+            .select(
+                (F.col("doc_id") * 32 + F.col("copy")).cast("string").alias("id"),
+                "text",
+                F.lit(None).cast("map<string,array<string>>").alias("claims"),
+            )
+            .repartition(int(CPUS)).persist()
+        )
+        n_docs_c = docs32c.count()  # materialize outside the timed window
+        best_c = None
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            matches, _trace = cascade(docs32c, default_classifiers(spark),
+                                      top_k=3, materialize="eager")
+            n_top1 = matches.where(F.col("rank") == 1).count()
+            dt = time.time() - t0
+            best_c = dt if best_c is None else min(best_c, dt)
+        docs32c.unpersist()
+        sf1["doc_cascade_x32"] = round(best_c, 3)
+        sf1["doc_cascade_x32_docs"] = n_docs_c
+        sf1["doc_cascade_x32_rows"] = n_top1
+        sf1["doc_cascade_docs_per_sec"] = round(n_docs_c / best_c, 1)
         result["extra"]["sf1"] = sf1
 
     result["extra"]["loadavg_after"] = _loadavg()

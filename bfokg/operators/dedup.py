@@ -67,6 +67,7 @@ def dedup_components(
     id_b: str = "doc_b",
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
+    materialize: str = "parquet",
 ) -> DataFrame:
     """Near-dup PAIRS → transitive duplicate CLUSTERS:
     (doc_id, component_id) where component_id = min doc id reachable
@@ -93,12 +94,25 @@ def dedup_components(
     consumed again). ``checkpoint_dir`` resolution matches
     ``ontology.build_closure``: explicit arg → session checkpoint dir →
     (local masters only) a temp dir deleted at exit; a multi-node master
-    with neither raises. Convergence is checked with one tiny aggregate
-    per round. Shuffle per round is O(|edges| + |nodes in pairs|) — at
+    with neither raises. Convergence is one exact-decimal SUM aggregate
+    over the new round (labels only ever DECREASE under min-propagation,
+    so an unchanged Σcomponent_id ⟺ no label changed — decimal(38,0)
+    so 10^9 nodes × int64 ids cannot overflow); before round 5 this probe
+    was a per-round shuffle JOIN of two full label tables, which at 10^9
+    nodes costs as much as the propagation step itself. Non-integral ids
+    (strings) have no exact monotone sum and keep the join probe. Shuffle per round
+    is O(|edges| + |nodes in pairs|) — at
     10^9 docs with a few percent dup rate this is orders below the
     pair-generation stage it follows. Nodes appearing in no pair are
     their own singleton components and are NOT emitted (join back against
-    the corpus for a full keep-list, or use ``dedup_keep_list``)."""
+    the corpus for a full keep-list, or use ``dedup_keep_list``).
+
+    ``materialize="local"`` swaps the parquet rounds for
+    ``localCheckpoint(eager=True)`` — executor-local RDD blocks, NOT
+    durable (one lost executor fails the whole iterative job) and freed
+    only by ContextCleaner GC. It exists for single-box ephemeral runs
+    and as the measured alternative in BENCH/DEDUP.md's checkpoint A/B;
+    cluster pipelines keep the parquet default."""
     import atexit
     import os
     import shutil
@@ -108,6 +122,24 @@ def dedup_components(
     from ..util import PathCleanup
 
     spark = pairs.sparkSession
+    if materialize not in ("parquet", "local"):
+        raise ValueError(
+            f"materialize must be parquet|local, got {materialize!r}"
+        )
+    if materialize == "local":
+
+        def _materialize(df: DataFrame, name: str):
+            return df.localCheckpoint(eager=True), None
+
+        def _release(handle) -> None:
+            pass  # executor-local blocks; ContextCleaner GC frees them
+
+        def _final(labels_df: DataFrame) -> DataFrame:
+            return labels_df
+
+        return _dedup_components_loop(
+            pairs, id_a, id_b, max_iter, _materialize, _release, _final
+        )
     if checkpoint_dir is None:
         configured = None
         try:
@@ -135,6 +167,23 @@ def dedup_components(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path), path
 
+    def _release(path) -> None:
+        PathCleanup(path, spark).unpersist()
+
+    def _final(labels_df: DataFrame) -> DataFrame:
+        return attach_cleanup(labels_df, PathCleanup(checkpoint_dir, spark))
+
+    return _dedup_components_loop(
+        pairs, id_a, id_b, max_iter, _materialize, _release, _final
+    )
+
+
+def _dedup_components_loop(pairs, id_a, id_b, max_iter, _materialize,
+                           _release, _final) -> DataFrame:
+    """The min-label-propagation loop shared by both ``materialize``
+    modes of ``dedup_components`` — the dataflow is identical; only how
+    each round's frame is pinned (reliable parquet vs localCheckpoint)
+    differs."""
     edges_ab = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges, _ = _materialize(
         edges_ab.unionByName(
@@ -148,6 +197,32 @@ def dedup_components(
         .withColumn("component_id", F.col("doc_id")),
         "round_00",
     )
+
+    integral_ids = labels.schema["component_id"].dataType.typeName() in (
+        "byte", "short", "integer", "long"
+    )
+
+    def _label_sum(df: DataFrame):
+        # exact convergence probe: min-propagation only ever DECREASES
+        # labels, so Σcomponent_id is strictly decreasing until the fixed
+        # point — equality ⟺ converged. decimal(38,0) keeps the sum exact
+        # at 10^9 nodes × int64 ids (a bare long sum could wrap).
+        return df.agg(
+            F.sum(F.col("component_id").cast("decimal(38,0)"))
+        ).first()[0]
+
+    def _changed_join(new: DataFrame, old: DataFrame) -> bool:
+        # non-integral ids (strings) have no exact monotone sum — fall
+        # back to the join probe for them
+        return bool(
+            new.alias("n")
+            .join(old.alias("o"), "doc_id")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+
+    prev_sum = _label_sum(labels) if integral_ids else None
     for i in range(1, max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -164,20 +239,19 @@ def dedup_components(
             ),
             f"round_{i:02d}",
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
-            .limit(1)
-            .count()
-        )
+        if integral_ids:
+            new_sum = _label_sum(new_labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = not _changed_join(new_labels, labels)
         # round i-1 is no longer referenced by any future plan — release
         # it now instead of leaving round history to accumulate (ADVICE
         # r4 #3); only edges + the final round remain for the handle.
-        PathCleanup(prev_path, spark).unpersist()
+        _release(prev_path)
         labels, prev_path = new_labels, new_path
-        if changed == 0:
-            return attach_cleanup(labels, PathCleanup(checkpoint_dir, spark))
+        if converged:
+            return _final(labels)
     raise RuntimeError(
         f"dedup_components did not converge in {max_iter} rounds "
         "(pair graph diameter exceeds max_iter — raise it)"

@@ -161,21 +161,37 @@ class AhoCorasick:
         return picked
 
 
+# Measured crossover (BENCH/MENTIONS.md, sf1 = 600k turns, local[32]):
+# the JVM alternation's scan cost grows with dictionary size while the
+# Aho-Corasick kernel's is flat in it — "auto" switches impl where the
+# measured curves cross. A real Wikidata alias dict (millions of
+# surfaces, SURVEY.md §2.3) always lands on the automaton side.
+AUTO_SQL_MAX_SURFACES = 1_000
+
+
 def extract_mentions(
     transcripts: DataFrame,
     surfaces: list[str] | None = None,
-    impl: str = "sql",
+    impl: str = "auto",
 ) -> DataFrame:
     """Text → exploded (mention, position) rows.
 
-    ``impl="sql"`` (default): JVM ``regexp_extract_all`` + ``posexplode`` —
+    ``impl="auto"`` (default): picks by dictionary size — ``"sql"`` up to
+    ``AUTO_SQL_MAX_SURFACES`` surfaces, ``"aho"`` beyond (the measured
+    crossover, BENCH/MENTIONS.md).
+    ``impl="sql"``: JVM ``regexp_extract_all`` + ``posexplode`` —
     codegen, no Python; right while the dictionary alternation stays
-    compilable (thousands of surfaces).
+    compilable AND cheap to scan (small dictionaries).
     ``impl="aho"``: Arrow-batched Aho-Corasick kernel — O(|text|) per row
     independent of dictionary size; the scale path for real alias dicts
     (pinned output-identical to the sql path in tests/test_pipeline.py).
     ``impl="pandas"``: the regex kernel (the plug-in shape for a
     model-based mention detector)."""
+    if impl == "auto":
+        n_surfaces = len(set(surfaces)) if surfaces is not None else len(
+            {r[0] for r in alias_rows()}
+        )
+        impl = "sql" if n_surfaces <= AUTO_SQL_MAX_SURFACES else "aho"
     if impl == "aho":
         ac = AhoCorasick([r[0] for r in alias_rows()] if surfaces is None
                          else list(surfaces))

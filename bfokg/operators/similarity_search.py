@@ -192,16 +192,27 @@ def ivf_centroids(
 ):
     """Deterministic spherical k-means centroids from a BOUNDED sample.
 
-    The training sample is the first ``sample`` rows by id — a driver
-    collect bounded by ``sample``, never by corpus size (at 10^9 rows you
-    still collect 512 vectors); init = the first ``n_centroids`` sample
-    rows, then ``iters`` Lloyd steps with cosine assignment (numpy argmax
-    breaks ties toward the lower centroid id). Fully deterministic for a
-    given table, so an external engine can replay IVF search from the
-    same centroid matrix (the DuckDB oracle inlines it as VALUES).
-    Returns a list of n_centroids unit-norm python float lists.
+    The training sample is the first ``sample`` rows in SEEDED-HASH order
+    — ``orderBy(crc32(cast(id as string)), id)`` — a driver collect
+    bounded by ``sample``, never by corpus size (at 10^9 rows you still
+    collect 512 vectors). Hash ordering matters at scale: ids routinely
+    correlate with content (ingest time, shard, source), so first-N-by-id
+    trains centroids on one corner of the distribution (VERDICT r4);
+    crc32 scrambles that correlation while staying fully deterministic
+    for a given table AND trivially replayable off-engine (zlib.crc32 of
+    str(id) — the same parity trick the MinHash oracle uses), so the
+    DuckDB oracle recomputes the identical sample and inlines the
+    identical centroid matrix as VALUES. Init = the first ``n_centroids``
+    sample rows, then ``iters`` Lloyd steps with cosine assignment (numpy
+    argmax breaks ties toward the lower centroid id). Returns a list of
+    n_centroids unit-norm python float lists.
     """
-    rows = corpus.select(corpus_id, vec_col).orderBy(corpus_id).limit(sample).collect()
+    rows = (
+        corpus.select(corpus_id, vec_col)
+        .orderBy(F.crc32(F.col(corpus_id).cast("string")), F.col(corpus_id))
+        .limit(sample)
+        .collect()
+    )
     return _lloyd([list(r[1]) for r in rows], n_centroids, iters)
 
 

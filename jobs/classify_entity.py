@@ -261,17 +261,21 @@ def main(argv=None) -> int:
                 },
             }
             if trace_rows:
-                # key names AND order match the reference's cascade_decisions
-                # entries exactly (hybrid.py:409-415 → classification_logger
-                # .py:90-91): classifier / top_prediction / confidence /
-                # threshold / decision — ref tooling reads .top_prediction
+                # keys, order AND values match the reference's
+                # cascade_decisions entries exactly (hybrid.py:409-415,
+                # :430-433 → classification_logger.py:90-91): the repo's
+                # internal ACCEPTED vocabulary maps to the reference's
+                # ACCEPT at this emit boundary, and NO_RESULTS stages emit
+                # confidence 0.0 (not null) like hybrid.py:432 — ref
+                # tooling compares both fields, not just key names
                 entry["cascade_trace"] = [
                     {"classifier": s.classifier,
                      "top_prediction": s.top_prediction,
-                     "confidence": None if s.confidence is None
+                     "confidence": 0.0 if s.confidence is None
                      else float(s.confidence),
                      "threshold": float(s.threshold),
-                     "decision": s.decision}
+                     "decision": "ACCEPT" if s.decision == "ACCEPTED"
+                     else s.decision}
                     for s in sorted(trace_rows, key=lambda r: r.stage_idx)
                 ]
             path = os.path.join(

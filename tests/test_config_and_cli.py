@@ -278,3 +278,9 @@ def test_cli_yaml_run_log(tmp_path):
     for t in d["cascade_trace"]:
         assert list(t) == ["classifier", "top_prediction", "confidence",
                            "threshold", "decision"], list(t)
+        # VALUE parity too (ADVICE r4 #1): the reference's vocabulary is
+        # ACCEPT (hybrid.py:414), not the operator-internal ACCEPTED, and
+        # NO_RESULTS stages carry confidence 0.0, never null
+        # (hybrid.py:432)
+        assert t["decision"] in {"ACCEPT", "CONTINUE", "NO_RESULTS"}
+        assert isinstance(t["confidence"], float)

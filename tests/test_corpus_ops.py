@@ -352,6 +352,22 @@ def test_dedup_components_and_keep_list(spark):
     assert keep[10] == (10, True) and keep[11] == (10, False)
     assert sum(1 for _, (k, is_k) in keep.items() if is_k) == 3
 
+    # string ids: the exact-sum convergence probe only applies to integral
+    # ids — strings exercise the join-probe fallback and lexicographic min
+    s_pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("d", "c"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    s_comp = {r.doc_id: r.component_id
+              for r in dedup_components(s_pairs).collect()}
+    assert s_comp == {"a": "a", "b": "a", "c": "a", "d": "a",
+                      "x": "x", "y": "x"}
+
+    # both materialize modes agree (the A/B contract in BENCH/DEDUP.md)
+    local = {r.doc_id: r.component_id
+             for r in dedup_components(pairs, materialize="local").collect()}
+    assert local == comp
+
 
 def test_textstats(spark):
     d = docs(spark).select(

@@ -162,11 +162,13 @@ class AhoCorasick:
 
 
 # Measured crossover (BENCH/MENTIONS.md, sf1 = 600k turns, local[32]):
-# the JVM alternation's scan cost grows with dictionary size while the
-# Aho-Corasick kernel's is flat in it — "auto" switches impl where the
-# measured curves cross. A real Wikidata alias dict (millions of
-# surfaces, SURVEY.md §2.3) always lands on the automaton side.
-AUTO_SQL_MAX_SURFACES = 1_000
+# the JVM alternation's scan cost grows ~linearly with dictionary size
+# (≈10-15 ms/surface per 600k turns; 16.8 s at 1k surfaces, 103 s at
+# 10k, DNF at 100k) while the Aho-Corasick kernel stays flat at ~2 s —
+# the curves cross at ≈100 surfaces, and "auto" switches impl there. A
+# real Wikidata alias dict (millions of surfaces, SURVEY.md §2.3) always
+# lands on the automaton side.
+AUTO_SQL_MAX_SURFACES = 100
 
 
 def extract_mentions(

@@ -2087,6 +2087,33 @@ GROUP BY n.doc_id
 """
 
 
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus keep/drop decision (round 5): every document mapped to
+    its duplicate-cluster keeper (the component min id; itself when it
+    has no near-dup). Composes minhash_lsh_pairs → dedup_components →
+    one left join back against the corpus — the last hop of the dedup
+    pipeline, previously pinned only through `dedup_components`. The
+    DuckDB oracle nests the recursive-CTE reachability inside a corpus
+    left join."""
+    from bfokg.operators.dedup import dedup_keep_list, minhash_lsh_pairs
+    from bfokg.util import attach_cleanup
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.2)
+    out = dedup_keep_list(docs, pairs)
+    return attach_cleanup(out, *getattr(pairs, "_bfokg_cached", ()))
+
+
+def _sql_dedup_keep_list() -> str:
+    return f"""
+WITH comp AS ({_sql_dedup_components()})
+SELECT d.doc_id,
+       coalesce(c.component_id, d.doc_id) AS keeper_id,
+       (d.doc_id = coalesce(c.component_id, d.doc_id)) AS is_keeper
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits)."""
     from bfokg.operators.dedup import simhash_near_dups
@@ -2492,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,                  # crc32-replayed, oracle
         "dedup_components": q_dedup_components,        # pairs→clusters, oracle
+        "dedup_keep_list": q_dedup_keep_list,          # corpus keep/drop, oracle
         "simhash": q_simhash,                          # crc32-replayed, oracle
         "doc_stats": q_doc_stats,
         "doc_semantic_exact": q_doc_semantic_exact,    # kernel math, oracle
@@ -2548,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_lsh": _sql_minhash_lsh(),
         "dedup_components": _sql_dedup_components(),
+        "dedup_keep_list": _sql_dedup_keep_list(),
         "simhash": _sql_simhash(),
         "kg_nodes_canon": _sql_kg_nodes_canon(),
         "eval_rule_accuracy": _sql_eval_rule_accuracy(),

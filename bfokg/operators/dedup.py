@@ -264,13 +264,16 @@ def dedup_keep_list(
     id_col: str = "doc_id",
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    **component_kwargs,
 ) -> DataFrame:
     """(doc_id, keeper_id, is_keeper) over the FULL corpus: every doc
     maps to its component's min id (itself when it has no near-dup).
     ``docs.where(F.col("is_keeper"))`` is the deduplicated corpus;
     non-keepers are the drop set. One broadcast-or-shuffle left join of
-    the corpus against the (small) component table."""
-    comp = dedup_components(pairs, id_a, id_b)
+    the corpus against the (small) component table. Extra keyword args
+    (``checkpoint_dir``, ``materialize``, ``max_iter``) pass through to
+    ``dedup_components``."""
+    comp = dedup_components(pairs, id_a, id_b, **component_kwargs)
     out = docs.select(F.col(id_col).alias("doc_id")).join(comp, "doc_id", "left")
     out = out.select(
         "doc_id",
@@ -456,7 +459,6 @@ def minhash_lsh_pairs(
 
     from ..util import PathCleanup
 
-    rows_per_band = num_hashes // bands
     spark = docs.sparkSession
     sigs_raw = minhash_signatures(docs, num_hashes, n, id_col, text_col)
     store_dir = None
@@ -485,6 +487,23 @@ def minhash_lsh_pairs(
     else:
         sigs = sigs_raw.persist()
         cleanup = sigs
+    return attach_cleanup(
+        _lsh_pairs_from_sigs(sigs, num_hashes, bands, threshold), cleanup
+    )
+
+
+def _lsh_pairs_from_sigs(
+    sigs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The banding → candidate join → estimated-jaccard verify tail of
+    ``minhash_lsh_pairs``, taking an already-materialized signature table
+    (doc_id, signature). Split out so the phase probes
+    (tools/dedup_phase_probes_parquet.py) can time signature build and
+    banding/verify separately on the exact shipped dataflow."""
+    rows_per_band = num_hashes // bands
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -502,7 +521,7 @@ def minhash_lsh_pairs(
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
-    est = (
+    return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -514,7 +533,6 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "est_jaccard")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return attach_cleanup(est, cleanup)
 
 
 # -------------------------------------------------------------- simhash --

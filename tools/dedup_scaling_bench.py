@@ -27,6 +27,7 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTOR = int(os.environ.get("DEDUP_SCALE_FACTOR", "16"))
+RUNS = int(os.environ.get("DEDUP_SCALE_RUNS", "2"))
 
 JOB = r"""
 import json, sys, time
@@ -56,27 +57,35 @@ docs = (base.crossJoin(copies)
         .repartition(64).persist())
 n_docs = docs.count()
 
+def loadavg1():
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
 def run_once():
+    la = loadavg1()
     t0 = time.time()
     pairs = minhash_lsh_pairs(docs, threshold=0.5)
     n = pairs.count()
     release_intermediates(pairs)
-    return time.time() - t0, n
+    return round(time.time() - t0, 3), n, la
 
 run_once()
-times, n_pairs = [], 0
-for _ in range(2):
-    dt, n_pairs = run_once()
-    times.append(dt)
+samples, n_pairs = [], 0
+for _ in range({runs}):
+    dt, n_pairs, la = run_once()
+    samples.append((dt, la))
 print("RESULT " + json.dumps({{"cpus": cpus, "docs": n_docs,
-                               "pairs": n_pairs, "sec": min(times)}}))
+                               "pairs": n_pairs,
+                               "sec": min(s[0] for s in samples),
+                               "samples": samples}}))
 """
 
 
 def run(cpus: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c",
-         JOB.format(repo=REPO, cpus=cpus, sf_dir=SF_DIR, factor=FACTOR)],
+         JOB.format(repo=REPO, cpus=cpus, sf_dir=SF_DIR, factor=FACTOR,
+                    runs=RUNS)],
         capture_output=True, text=True, timeout=3600,
         env={**os.environ, "PYTHONPATH": REPO},
     )
@@ -107,7 +116,10 @@ Generated {datetime.now(timezone.utc).isoformat()}: ``minhash_lsh_pairs``
 (signature kernel → banded buckets → candidate join → verify) over the
 sf0.1 documents table amplified ×{FACTOR} with perturbed near-duplicate
 copies — {r8['docs']:,} docs, {r8['pairs']:,} verified near-dup pairs.
-Fresh JVM per parallelism, warm-up, best of two.
+Fresh JVM per parallelism, warm-up, best of {RUNS} (per-sample
+(sec, 1-min-loadavg-at-start) listed so an externally-bursted sample is
+visible and excluded by the min).
+Samples @8: {r8['samples']}; @32: {r32['samples']}.
 
 | parallelism | wall sec | docs/sec |
 |---|---|---|

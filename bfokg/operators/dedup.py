@@ -94,7 +94,9 @@ def dedup_components(
     consumed again). ``checkpoint_dir`` resolution matches
     ``ontology.build_closure``: explicit arg → session checkpoint dir →
     (local masters only) a temp dir deleted at exit; a multi-node master
-    with neither raises. Convergence is one exact-decimal SUM aggregate
+    with neither raises. A unique per-run subdir is always created under
+    the explicit/configured dir, so releasing never deletes a caller's
+    shared checkpoint root and concurrent runs cannot collide. Convergence is one exact-decimal SUM aggregate
     over the new round (labels only ever DECREASE under min-propagation,
     so an unchanged Σcomponent_id ⟺ no label changed — decimal(38,0)
     so 10^9 nodes × int64 ids cannot overflow); before round 5 this probe
@@ -140,7 +142,15 @@ def dedup_components(
         return _dedup_components_loop(
             pairs, id_a, id_b, max_iter, _materialize, _release, _final
         )
-    if checkpoint_dir is None:
+    if checkpoint_dir is not None:
+        # ALWAYS nest a unique run dir under the caller's path: the final
+        # cleanup handle deletes the whole scratch dir, and a caller who
+        # passed a shared checkpoint ROOT must not lose it (nor collide
+        # with a concurrent run writing the same round names)
+        checkpoint_dir = os.path.join(
+            checkpoint_dir, f"bfokg_components_{uuid.uuid4().hex[:8]}"
+        )
+    else:
         configured = None
         try:
             configured = spark.sparkContext.getCheckpointDir()

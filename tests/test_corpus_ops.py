@@ -369,6 +369,30 @@ def test_dedup_components_and_keep_list(spark):
     assert local == comp
 
 
+def test_dedup_components_explicit_checkpoint_dir_survives_release(spark, tmp_path):
+    """An explicit checkpoint_dir is a caller-owned location (often a
+    shared checkpoint ROOT): the per-run scratch must live in a unique
+    subdir so release_intermediates deletes only the run's own files,
+    never the caller's directory."""
+    import os
+
+    from bfokg.operators.dedup import dedup_components
+    from bfokg.util import release_intermediates
+
+    root = tmp_path / "shared_ckpt_root"
+    root.mkdir()
+    (root / "precious.txt").write_text("caller data")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    comp = dedup_components(pairs, checkpoint_dir=str(root))
+    got = {r.doc_id: r.component_id for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    assert any(d.startswith("bfokg_components_") for d in os.listdir(root))
+    release_intermediates(comp)
+    assert (root / "precious.txt").exists()          # caller's root intact
+    assert not any(d.startswith("bfokg_components_")  # run scratch gone
+                   for d in os.listdir(root))
+
+
 def test_textstats(spark):
     d = docs(spark).select(
         "doc_id",

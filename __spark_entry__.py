@@ -2490,9 +2490,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's CORRECTNESS artifact records at
     most 50 entries in registry order, so ALL oracle-backed queries come
-    first (47 as of round 5) and the rows-only float32 production twins —
-    each semantically pinned by a hash-checked float64 ``*_exact`` sibling
-    above — are listed last (VERDICT r4 item 1).
+    first (48 as of round 5 — dedup_keep_list joined round 4's 47; 2 free
+    slots remain before an oracle query would fall past the cap) and the
+    rows-only float32 production twins — each semantically pinned by a
+    hash-checked float64 ``*_exact`` sibling above — are listed last
+    (VERDICT r4 item 1).
     """
     return {
         # reference parity (SURVEY.md §2) — all oracle-backed

@@ -275,13 +275,15 @@ def build_closure(
     (``bfokg.util.release_intermediates``) for the persisted edge table;
     callers in long-lived sessions should release it after the consuming
     action. Checkpoint files live until ``checkpoint_dir`` is deleted —
-    pass an explicit dir to manage their lifecycle. When ``checkpoint_dir``
-    is None the default is chosen to be executor-visible: the session's
-    configured Spark checkpoint dir (``sc.setCheckpointDir``) when set,
-    else — on ``local[*]`` masters only — a driver-local temp dir that is
-    deleted at interpreter exit. On a multi-node master with no configured
-    checkpoint dir a ``ValueError`` is raised instead of silently writing a
-    driver-local path the executors cannot read.
+    pass an explicit dir to manage their lifecycle (each run writes into
+    a unique ``bfokg_closure_<uuid>`` subdir of it, so concurrent
+    closures never collide and deleting one run's subdir cannot touch
+    another's). Resolution (shared ``util.resolve_scratch_dir`` ladder):
+    explicit dir → the session's configured Spark checkpoint dir
+    (``sc.setCheckpointDir``) → on ``local[*]`` masters only, a
+    driver-local temp dir deleted at interpreter exit. On a multi-node
+    master with none, a ``ValueError`` is raised instead of silently
+    writing a driver-local path the executors cannot read.
 
     ``checkpoint_interval``: reliably checkpoint every k-th round instead
     of every round; in-between rounds persist their frontier (bounding
@@ -297,38 +299,15 @@ def build_closure(
     are MISSING from the result — size ``max_iterations`` to the graph's
     known depth (real Wikidata P279 chains exceed the default).
     """
-    import atexit
     import os
-    import shutil
-    import tempfile
-    import uuid
     import warnings
 
-    from .util import attach_cleanup
+    from .util import attach_cleanup, resolve_scratch_dir
 
     spark = edges.sparkSession
-    if checkpoint_dir is None:
-        configured = None
-        try:
-            configured = spark.sparkContext.getCheckpointDir()
-        except Exception:
-            pass
-        if configured:
-            # sub-dir per call so concurrent closures don't collide
-            checkpoint_dir = os.path.join(
-                configured, f"bfokg_closure_{uuid.uuid4().hex[:8]}"
-            )
-        elif spark.conf.get("spark.master", "local").startswith("local"):
-            checkpoint_dir = tempfile.mkdtemp(prefix="bfokg_closure_ckpt_")
-            atexit.register(shutil.rmtree, checkpoint_dir, ignore_errors=True)
-        else:
-            raise ValueError(
-                "build_closure: no checkpoint_dir given and no Spark "
-                "checkpoint dir configured — on a multi-node master the "
-                "per-round parquet checkpoints must live on storage every "
-                "executor can read (call sc.setCheckpointDir or pass "
-                "checkpoint_dir explicitly)"
-            )
+    checkpoint_dir = resolve_scratch_dir(
+        spark, "bfokg_closure", explicit=checkpoint_dir
+    )
     cached: list[DataFrame] = []
     direct = (
         edges.select(

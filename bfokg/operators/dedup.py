@@ -115,13 +115,9 @@ def dedup_components(
     only by ContextCleaner GC. It exists for single-box ephemeral runs
     and as the measured alternative in BENCH/DEDUP.md's checkpoint A/B;
     cluster pipelines keep the parquet default."""
-    import atexit
     import os
-    import shutil
-    import tempfile
-    import uuid
 
-    from ..util import PathCleanup
+    from ..util import PathCleanup, resolve_scratch_dir
 
     spark = pairs.sparkSession
     if materialize not in ("parquet", "local"):
@@ -142,35 +138,9 @@ def dedup_components(
         return _dedup_components_loop(
             pairs, id_a, id_b, max_iter, _materialize, _release, _final
         )
-    if checkpoint_dir is not None:
-        # ALWAYS nest a unique run dir under the caller's path: the final
-        # cleanup handle deletes the whole scratch dir, and a caller who
-        # passed a shared checkpoint ROOT must not lose it (nor collide
-        # with a concurrent run writing the same round names)
-        checkpoint_dir = os.path.join(
-            checkpoint_dir, f"bfokg_components_{uuid.uuid4().hex[:8]}"
-        )
-    else:
-        configured = None
-        try:
-            configured = spark.sparkContext.getCheckpointDir()
-        except Exception:
-            pass
-        if configured:
-            checkpoint_dir = os.path.join(
-                configured, f"bfokg_components_{uuid.uuid4().hex[:8]}"
-            )
-        elif spark.conf.get("spark.master", "local").startswith("local"):
-            checkpoint_dir = tempfile.mkdtemp(prefix="bfokg_components_ckpt_")
-            atexit.register(shutil.rmtree, checkpoint_dir, ignore_errors=True)
-        else:
-            raise ValueError(
-                "dedup_components: no checkpoint_dir given and no Spark "
-                "checkpoint dir configured — on a multi-node master the "
-                "per-round parquet checkpoints must live on storage every "
-                "executor can read (call sc.setCheckpointDir or pass "
-                "checkpoint_dir explicitly)"
-            )
+    checkpoint_dir = resolve_scratch_dir(
+        spark, "bfokg_components", explicit=checkpoint_dir
+    )
 
     def _materialize(df: DataFrame, name: str) -> tuple[DataFrame, str]:
         path = os.path.join(checkpoint_dir, name)
@@ -183,9 +153,16 @@ def dedup_components(
     def _final(labels_df: DataFrame) -> DataFrame:
         return attach_cleanup(labels_df, PathCleanup(checkpoint_dir, spark))
 
-    return _dedup_components_loop(
-        pairs, id_a, id_b, max_iter, _materialize, _release, _final
-    )
+    try:
+        return _dedup_components_loop(
+            pairs, id_a, id_b, max_iter, _materialize, _release, _final
+        )
+    except BaseException:
+        # failed runs (non-convergence, mid-loop write/job failure) must
+        # not leak the per-run scratch on shared checkpoint storage —
+        # only the local tempfile branch has an atexit safety net
+        PathCleanup(checkpoint_dir, spark).unpersist()
+        raise
 
 
 def _dedup_components_loop(pairs, id_a, id_b, max_iter, _materialize,
@@ -461,28 +438,15 @@ def minhash_lsh_pairs(
       self-join (single-shuffle on paper, but +9% wall at local[32] —
       the wide-row exchange costs more than the narrow candidate
       re-shuffle it saves)."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    from ..util import PathCleanup
+    from ..util import PathCleanup, resolve_scratch_dir
 
     spark = docs.sparkSession
     sigs_raw = minhash_signatures(docs, num_hashes, n, id_col, text_col)
     store_dir = None
     if sig_storage == "auto":
-        configured = None
-        try:
-            configured = spark.sparkContext.getCheckpointDir()
-        except Exception:
-            pass
-        if configured:
-            store_dir = os.path.join(configured, f"bfokg_sigs_{uuid.uuid4().hex[:8]}")
-        elif spark.conf.get("spark.master", "local").startswith("local"):
-            store_dir = tempfile.mkdtemp(prefix="bfokg_sigs_")
-            atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+        # require=False: with no executor-visible scratch available the
+        # operator falls back to the memory persist rather than raising
+        store_dir = resolve_scratch_dir(spark, "bfokg_sigs", require=False)
     if store_dir is not None:
         # DOCUMENTED EXCEPTION to the plan-building-only operator contract
         # (test_no_jobs_at_operator_construction): parquet-backed signature

@@ -37,17 +37,24 @@ class PathCleanup:
     files: unlike unpersisting a cached frame (which merely recomputes on
     re-use), a released parquet-backed result must not be consumed again.
 
-    Deletion goes through the Hadoop FileSystem API only for
-    SCHEME-QUALIFIED paths (``hdfs://``, ``s3a://``, ``file:/`` — scratch
-    dirs landing under a non-local configured checkpoint dir on a real
-    cluster), so they are actually removed — a driver-local
-    ``shutil.rmtree`` silently no-ops on those and leaks the signature
-    table on shared storage (ADVICE r3 #4). Bare local paths (tempfile
-    scratch dirs) delete with ``shutil`` DIRECTLY: resolving them through
-    Hadoop's default filesystem would, in a local-master session whose
-    fs.defaultFS points at a remote FS (e.g. an inherited
-    HADOOP_CONF_DIR), target a same-named REMOTE path and leak the local
-    dir (ADVICE r4 #2). An explicit scheme carries no such ambiguity.
+    The governing invariant: DELETE THROUGH THE SAME RESOLUTION THE
+    WRITES USED. Spark resolves every ``df.write.parquet(path)`` —
+    scheme-qualified or bare — against the session's Hadoop
+    configuration (fs.defaultFS for bare paths), so deletion goes
+    through the Hadoop FileSystem API with that same configuration
+    whenever the session is alive. A driver-local ``shutil.rmtree``
+    alone silently no-ops on ``hdfs://``/``s3a://`` scratch and leaks
+    the signature table on shared storage (ADVICE r3 #4) — and the same
+    leak applies to a BARE path on a cluster, which Spark wrote to the
+    default FS, not the driver's disk. For bare paths the Hadoop delete
+    is followed by a best-effort local ``rmtree``: when an inherited
+    remote fs.defaultFS redirected the writes (ADVICE r4 #2's
+    local-master corner), the tempfile-created LOCAL directory would
+    otherwise linger after the remote data — which is exactly where our
+    writes landed, so removing it is correct — is gone; on an ordinary
+    local session the Hadoop delete already removed everything and the
+    extra rmtree is a no-op. ``shutil`` remains the fallback for dead
+    sessions / unreachable filesystems.
     """
 
     _SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
@@ -59,7 +66,8 @@ class PathCleanup:
     def unpersist(self, blocking: bool = False):
         import shutil
 
-        if self._SCHEME.match(self.path) and self.spark is not None:
+        local_path = re.sub(r"^file:(//)?", "", self.path)
+        if self.spark is not None:
             try:
                 jvm = self.spark._jvm
                 jpath = jvm.org.apache.hadoop.fs.Path(self.path)
@@ -67,10 +75,15 @@ class PathCleanup:
                     self.spark._jsc.hadoopConfiguration()
                 )
                 fs.delete(jpath, True)
+                if not self._SCHEME.match(self.path):
+                    # bare path: also clear the driver-local dir in case a
+                    # remote default FS redirected the writes (the local
+                    # tempdir creation is the one driver-side artifact)
+                    shutil.rmtree(local_path, ignore_errors=True)
                 return
             except Exception:
                 pass  # dead JVM / unreachable FS → best-effort local delete
-        shutil.rmtree(re.sub(r"^file:(//)?", "", self.path), ignore_errors=True)
+        shutil.rmtree(local_path, ignore_errors=True)
 
 
 def release_intermediates(df: DataFrame, blocking: bool = False) -> int:
@@ -86,3 +99,53 @@ def release_intermediates(df: DataFrame, blocking: bool = False) -> int:
             pass
     df._bfokg_cached = ()
     return n
+
+
+def resolve_scratch_dir(spark, prefix: str, explicit: str | None = None,
+                        require: bool = True) -> str | None:
+    """Resolve a per-run scratch directory for parquet-materialized
+    intermediates (iterative-loop checkpoints, signature tables) — the
+    ONE implementation of the resolution ladder previously triplicated
+    across ``ontology.build_closure``, ``dedup.minhash_lsh_pairs`` and
+    ``dedup.dedup_components``:
+
+    1. ``explicit`` caller path → a unique ``<prefix>_<uuid>`` SUBDIR
+       under it (never the caller's dir itself: the cleanup handle
+       deletes the whole scratch dir, and a caller passing a shared
+       checkpoint ROOT must not lose it; the uuid also keeps concurrent
+       runs from colliding);
+    2. the session's configured Spark checkpoint dir → same unique
+       subdir under it (executor-visible on a real cluster);
+    3. local masters → a ``tempfile`` dir removed at interpreter exit;
+    4. multi-node master with none of the above: raise (``require=True``
+       — the scratch MUST be on storage every executor can read) or
+       return None (``require=False`` — caller falls back to a
+       non-parquet strategy, e.g. a memory persist).
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    if explicit is not None:
+        return os.path.join(explicit, f"{prefix}_{uuid.uuid4().hex[:8]}")
+    configured = None
+    try:
+        configured = spark.sparkContext.getCheckpointDir()
+    except Exception:
+        pass
+    if configured:
+        return os.path.join(configured, f"{prefix}_{uuid.uuid4().hex[:8]}")
+    if spark.conf.get("spark.master", "local").startswith("local"):
+        scratch = tempfile.mkdtemp(prefix=f"{prefix}_")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        return scratch
+    if not require:
+        return None
+    raise ValueError(
+        f"{prefix}: no scratch dir available — on a multi-node master the "
+        "parquet-materialized intermediates must live on storage every "
+        "executor can read (call sc.setCheckpointDir or pass an explicit "
+        "directory)"
+    )

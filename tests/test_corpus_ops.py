@@ -302,29 +302,35 @@ def test_path_cleanup_deletes_through_hadoop_fs(spark, tmp_path):
     assert not scratch.exists()
 
 
-def test_path_cleanup_bare_local_path_never_touches_hadoop_fs(tmp_path):
-    """ADVICE r4 #2: a scheme-LESS local path (tempfile scratch dir) must
-    be deleted with shutil directly — routing it through Hadoop's default
-    filesystem would, under an inherited remote fs.defaultFS, delete a
-    same-named REMOTE dir and leak the local one. Pinned by handing
-    PathCleanup a 'session' whose JVM accessor explodes: bare paths must
-    still delete cleanly because the Hadoop branch is never consulted."""
+def test_path_cleanup_bare_local_path(spark, tmp_path):
+    """Bare (scheme-less) paths must be deleted through the SAME
+    resolution Spark's writes used — the session's Hadoop configuration —
+    because on a cluster (or under an inherited remote fs.defaultFS,
+    ADVICE r4 #2) the parquet scratch lives on the default FS, not the
+    driver's disk; a driver-only rmtree would leak it there. The local
+    directory is cleared as well (covers the tempfile-created dir when a
+    remote default FS redirected the writes). And a dead/unreachable JVM
+    must still fall back to a local delete rather than fail."""
     from bfokg.util import PathCleanup
 
-    class _JvmRecorder:
-        touched = False
-
-        @property
-        def _jvm(self):
-            type(self).touched = True
-            raise RuntimeError("simulated unreachable JVM")
-
+    # live session, bare path: deleted (Hadoop default FS == local here)
     scratch = tmp_path / "bfokg_bare_scratch"
     scratch.mkdir()
     (scratch / "part-0.parquet").write_bytes(b"x")
-    PathCleanup(str(scratch), _JvmRecorder()).unpersist()
+    PathCleanup(str(scratch), spark).unpersist()
     assert not scratch.exists()
-    assert not _JvmRecorder.touched
+
+    # dead JVM: best-effort local fallback still removes the dir
+    class _DeadJvm:
+        @property
+        def _jvm(self):
+            raise RuntimeError("simulated unreachable JVM")
+
+    scratch2 = tmp_path / "bfokg_bare_scratch2"
+    scratch2.mkdir()
+    (scratch2 / "part-0.parquet").write_bytes(b"x")
+    PathCleanup(str(scratch2), _DeadJvm()).unpersist()
+    assert not scratch2.exists()
 
 
 def test_dedup_components_and_keep_list(spark):

@@ -2053,6 +2053,54 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with EXACT n-gram Jaccard — the production
+    dedup composition (banding keeps it linear; the exact verify touches
+    candidates only). est prefilter 0.2 (= threshold 0.35 − 0.15 margin),
+    exact threshold 0.35; the oracle replays both stages in DuckDB."""
+    from bfokg.operators.dedup import lsh_jaccard_pairs
+
+    return lsh_jaccard_pairs(_docs(spark, sf_dir), threshold=0.35).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _sql_lsh_jaccard() -> str:
+    """DuckDB oracle for q_lsh_jaccard: the full minhash replay (est ≥ 0.2
+    candidate set, identical to _sql_minhash_lsh) followed by the exact
+    shingle-intersection jaccard restricted to those candidates, exact
+    threshold 0.35."""
+    return f"""
+WITH RECURSIVE cand AS ({_sql_minhash_lsh()}),
+n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(CASE
+           WHEN len(toks) >= 3 THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END)) AS shingle
+  FROM n
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.35
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive duplicate clusters (the keep/drop tail
     of the dedup pipeline): min-label propagation over the SAME MinHash
@@ -2490,8 +2538,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's CORRECTNESS artifact records at
     most 50 entries in registry order, so ALL oracle-backed queries come
-    first (48 as of round 5 — dedup_keep_list joined round 4's 47; 2 free
-    slots remain before an oracle query would fall past the cap) and the
+    first (49 as of round 5 — dedup_keep_list and lsh_jaccard joined round
+    4's 47; 1 free slot remains before an oracle query would fall past the
+    cap) and the
     rows-only float32 production twins — each semantically pinned by a
     hash-checked float64 ``*_exact`` sibling above — are listed last
     (VERDICT r4 item 1).
@@ -2520,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,                  # crc32-replayed, oracle
+        "lsh_jaccard": q_lsh_jaccard,                  # LSH→exact-verify, oracle
         "dedup_components": q_dedup_components,        # pairs→clusters, oracle
         "dedup_keep_list": q_dedup_keep_list,          # corpus keep/drop, oracle
         "simhash": q_simhash,                          # crc32-replayed, oracle
@@ -2577,6 +2627,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_lsh": _sql_minhash_lsh(),
+        "lsh_jaccard": _sql_lsh_jaccard(),
         "dedup_components": _sql_dedup_components(),
         "dedup_keep_list": _sql_dedup_keep_list(),
         "simhash": _sql_simhash(),

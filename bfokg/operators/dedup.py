@@ -325,6 +325,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_jaccard_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    est_threshold: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sig_storage: str = "auto",
+) -> DataFrame:
+    """LSH-bucketed candidates verified with EXACT n-gram Jaccard — the
+    production composition ``ngram_jaccard_pairs``'s docstring mandates at
+    scale but the module previously never provided as one operator:
+    ``minhash_lsh_pairs`` generates candidates (linear in corpus size for
+    bounded buckets), then the exact shingle-intersection verify runs ONLY
+    on those candidate pairs, never all pairs.
+
+    ``est_threshold`` (default ``max(threshold - 0.15, 0)``) prefilters
+    candidates on the minhash ESTIMATE before the exact verify: at k=64
+    hashes the estimator's stddev is sqrt(j(1-j)/k) ≈ 0.06 near the
+    interesting range, so a ~2.5σ margin keeps pairs whose true jaccard
+    clears ``threshold`` from being dropped on estimator noise, while
+    discarding the bulk of clearly-sub-threshold candidates before they
+    touch the shingle join. Overall recall remains bounded by banding
+    (1 − (1 − s^r)^b), as for any LSH pipeline; precision is exact.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and exact
+    jaccard ≥ threshold.
+
+    Shuffle shape at scale: banding/candidates as in ``minhash_lsh_pairs``
+    (the signature scratch-parquet discipline is inherited via
+    ``sig_storage``); the verify explodes each candidate pair by doc_a's
+    shingles and inner-joins on (doc_b, shingle) to count the shared ones
+    — |candidates| × avg-shingles rows, independent of corpus size. The
+    result carries the upstream scratch cleanup handle
+    (``release_intermediates`` when done)."""
+    if est_threshold is None:
+        est_threshold = max(threshold - 0.15, 0.0)
+    cand_raw = minhash_lsh_pairs(
+        docs, num_hashes, bands, n, est_threshold, id_col, text_col, sig_storage
+    )
+    cand = cand_raw.select("doc_a", "doc_b")
+    sh = shingles_df(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    inter = (
+        cand
+        .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+              ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_shingles").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_shingles").alias("size_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return attach_cleanup(out, *getattr(cand_raw, "_bfokg_cached", ()))
+
+
 # -------------------------------------------------------------- minhash --
 
 # 2^31-1 keeps every a*h + b product under 2^60 — no int64 overflow in the

@@ -56,6 +56,25 @@ def test_minhash_recall_vs_exact(spark):
     assert (1, 4) not in est and (4, 5) not in est
 
 
+def test_lsh_jaccard_pairs_exact_values(spark):
+    """The composed LSH→exact-verify operator must emit exactly the pairs
+    the all-pairs exact operator emits at the same threshold (banding
+    recovers every high-jaccard pair on this tiny corpus), with the TRUE
+    jaccard value — the estimate is only a prefilter, never the output."""
+    from bfokg.operators.dedup import lsh_jaccard_pairs
+    from bfokg.util import release_intermediates
+
+    d = docs(spark)
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in
+             ngram_jaccard_pairs(d, n=3, threshold=0.5).collect()}
+    out = lsh_jaccard_pairs(d, num_hashes=64, bands=16, n=3, threshold=0.5)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert got == exact
+    # upstream signature scratch handle propagated through the composition
+    assert getattr(out, "_bfokg_cached", ())
+    release_intermediates(out)
+
+
 def test_simhash_fingerprints_match_scalar_reference(spark):
     """The vectorized numpy kernel must produce bit-identical fingerprints
     to the straightforward per-token accumulation (the pre-vectorization

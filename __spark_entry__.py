@@ -796,6 +796,79 @@ FROM s
 """
 
 
+def q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus curation: hash-keyed train/val/test split
+    (0.8/0.1/0.1) + per-language stratified downsampling (en 0.5, others
+    0.9) — membership is a pure projection over crc32(id), reproducible
+    under any partitioning, replayed integer-for-integer in DuckDB."""
+    from bfokg.functions.textstats import lang_id_col
+    from bfokg.operators.sampling import hash_split, stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    labeled = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).withColumn(
+        "lang_pred", lang_id_col("text")
+    )
+    out = stratified_sample(labeled, {"en": 0.5}, "lang_pred", default_fraction=0.9)
+    return out.select("doc_id", "split", "lang_pred")
+
+
+def _sql_doc_splits() -> str:
+    """DuckDB oracle for q_doc_splits: lang-ID argmax (same generator as
+    _sql_doc_stats) + crc32 replay of the split/sample buckets with the
+    identical integer thresholds."""
+    from bfokg.functions.textstats import STOPWORDS
+    from bfokg.operators.sampling import BUCKETS
+
+    lang_exprs = []
+    for lang, words in STOPWORDS.items():
+        arr = "[" + ",".join(_q(w) for w in words) + "]"
+        lang_exprs.append(
+            f"len(list_intersect(list_distinct(toks), {arr})) AS hits_{lang}"
+        )
+    langs = sorted(STOPWORDS, key=lambda l: (l != "en", l))
+    best = "greatest(" + ",".join(f"hits_{l}" for l in langs) + ")"
+    pick = "'unknown'"
+    for lang in langs[::-1]:
+        pick = f"CASE WHEN hits_{lang} = {best} THEN '{lang}' ELSE {pick} END"
+    return f"""
+WITH RECURSIVE
+t AS (
+  SELECT doc_id,
+         [x FOR x IN string_split_regex(lower(text), '[^a-z0-9'']+') IF x <> ''] AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, {', '.join(lang_exprs)} FROM t),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN {best} > 0 THEN {pick} ELSE 'unknown' END AS lang_pred
+  FROM s
+),
+keys AS (
+  SELECT doc_id,
+         'split:42:' || CAST(doc_id AS VARCHAR) AS ks,
+         'sample:42:' || CAST(doc_id AS VARCHAR) AS kp
+  FROM documents
+),
+strs AS (SELECT ks AS s FROM keys UNION SELECT kp FROM keys),
+{_sql_crc32_ctes('strs')},
+b AS (
+  SELECT k.doc_id,
+         cs.crc % {BUCKETS} AS split_bucket,
+         cp.crc % {BUCKETS} AS samp_bucket
+  FROM keys k
+  JOIN crc32_out cs ON cs.s = k.ks
+  JOIN crc32_out cp ON cp.s = k.kp
+)
+SELECT b.doc_id,
+       CASE WHEN split_bucket < 800000 THEN 'train'
+            WHEN split_bucket < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       l.lang_pred
+FROM b JOIN lang l ON l.doc_id = b.doc_id
+WHERE samp_bucket < CASE WHEN l.lang_pred = 'en' THEN 500000 ELSE 900000 END
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 ANN baseline for the first 10 vectors.
     Cosine computed in float64 on both sides; ranking over the ROUNDED
@@ -2538,9 +2611,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's CORRECTNESS artifact records at
     most 50 entries in registry order, so ALL oracle-backed queries come
-    first (49 as of round 5 — dedup_keep_list and lsh_jaccard joined round
-    4's 47; 1 free slot remains before an oracle query would fall past the
-    cap) and the
+    first (50 as of round 5 — dedup_keep_list, lsh_jaccard and doc_splits
+    joined round 4's 47, filling the cap exactly) and the
     rows-only float32 production twins — each semantically pinned by a
     hash-checked float64 ``*_exact`` sibling above — are listed last
     (VERDICT r4 item 1).
@@ -2574,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_list": q_dedup_keep_list,          # corpus keep/drop, oracle
         "simhash": q_simhash,                          # crc32-replayed, oracle
         "doc_stats": q_doc_stats,
+        "doc_splits": q_doc_splits,                    # hash split + stratified sample, oracle
         "doc_semantic_exact": q_doc_semantic_exact,    # kernel math, oracle
         "semantic_matches_exact": q_semantic_matches_exact,  # top-3 kernel oracle
         "zeroshot_matches_exact": q_zeroshot_matches_exact,  # softmax scorer oracle
@@ -2641,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hierarchy_exact": _sql_doc_hierarchy_exact(),
         "doc_cascade_exact": _sql_doc_cascade_exact(),
         "doc_stats": _sql_doc_stats(),
+        "doc_splits": _sql_doc_splits(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "embedding_lsh_topk": _sql_embedding_lsh_topk(),

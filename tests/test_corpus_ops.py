@@ -418,6 +418,51 @@ def test_dedup_components_explicit_checkpoint_dir_survives_release(spark, tmp_pa
                    for d in os.listdir(root))
 
 
+def test_hash_split_and_stratified_sample(spark):
+    """Membership must equal the zlib crc32 replay row-for-row, survive
+    repartitioning unchanged (the property Spark's randomSplit lacks),
+    approximate the requested proportions, and downsample per stratum
+    independently of the split assignment."""
+    import zlib
+    from collections import Counter
+
+    from bfokg.operators.sampling import BUCKETS, hash_split, stratified_sample
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(df, weights).collect()
+    for r in out:
+        b = zlib.crc32(f"split:42:{r.doc_id}".encode()) % BUCKETS
+        expected = "train" if b < 800000 else ("val" if b < 900000 else "test")
+        assert r.split == expected
+    counts = Counter(r.split for r in out)
+    assert abs(counts["train"] / n - 0.8) < 0.04
+    assert abs(counts["val"] / n - 0.1) < 0.03
+    # repartitioning must not move a single row between splits
+    again = {r.doc_id: r.split for r in hash_split(df.repartition(7), weights).collect()}
+    assert again == {r.doc_id: r.split for r in out}
+    # degenerate single split labels everything
+    assert {r.split for r in hash_split(df, {"all": 1.0}).collect()} == {"all"}
+
+    samp = stratified_sample(df, {"0": 0.2}, "grp", default_fraction=0.7).collect()
+    for r in samp:
+        b = zlib.crc32(f"sample:42:{r.doc_id}".encode()) % BUCKETS
+        assert b < (200000 if r.grp == "0" else 700000)
+    kept = Counter(r.grp for r in samp)
+    per_grp = Counter((r.grp for r in df.collect()))
+    assert abs(kept["0"] / per_grp["0"] - 0.2) < 0.05
+    assert abs(kept["1"] / per_grp["1"] - 0.7) < 0.05
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(df, {"train": 0.5, "val": 0.4})
+    with _pytest.raises(ValueError):
+        stratified_sample(df, {"0": 1.5}, "grp")
+
+
 def test_textstats(spark):
     d = docs(spark).select(
         "doc_id",

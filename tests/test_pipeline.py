@@ -217,6 +217,48 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     assert m["partition_by"] == ["part"] and m["rows"] == len(edges1)
 
 
+def test_curation_end_to_end_and_resume(spark, tmp_path):
+    """Corpus-curation DAG (plans.curation): stats → LSH pairs →
+    components keep-list → quality/dedup/split/sample corpus, each stage
+    a committed snapshot with lineage; resume skips everything and the
+    corpus (including split membership) is byte-identical."""
+    import zlib
+
+    from bfokg.plans.curation import run_curation
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick brown fox jumps over the lazy dog!"),   # exact dup
+        (3, "the quick brown fox jumps over the lazy cat"),    # near dup
+        (4, "completely different text about spark engines and distributed joins"),
+        (5, "der schnelle braune fuchs springt und das ist ein test von der sache"),
+        (6, "le chat est dans la maison et les oiseaux sont pour le jardin"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "cur")
+    res1 = run_curation(spark, docs, out, dup_threshold=0.35)
+    assert res1["skipped"] == []
+    corpus1 = {r.doc_id: (r.split, r.lang_pred) for r in res1["corpus"].collect()}
+    # the {1,2,3} dup cluster collapsed to its min-id keeper
+    assert set(corpus1) == {1, 4, 5, 6}
+    assert corpus1[5][1] == "de" and corpus1[6][1] == "fr"
+    # split membership is the crc32 replay, not partition-dependent RNG
+    for doc_id, (split, _) in corpus1.items():
+        b = zlib.crc32(f"split:42:{doc_id}".encode()) % 1_000_000
+        assert split == ("train" if b < 980000 else
+                         ("val" if b < 990000 else "test"))
+    m = read_manifest(os.path.join(out, "corpus"))
+    assert m["partition_by"] == ["split"]
+    assert sum(m["partition_rows"].values()) == len(corpus1)
+    # lineage: one row per stage + per-partition rows for stats/corpus
+    assert res1["lineage"] is not None and res1["lineage"]["rows"] >= 4
+
+    res2 = run_curation(spark, docs, out, resume=True, dup_threshold=0.35)
+    assert set(res2["skipped"]) == {"stats", "pairs", "keep_list", "corpus"}
+    corpus2 = {r.doc_id: (r.split, r.lang_pred) for r in res2["corpus"].collect()}
+    assert corpus2 == corpus1
+
+
 def test_resume_after_partial_failure(spark, tmp_path):
     """Crash-after-stage-1 simulation: extract's snapshot is committed but
     edges/nodes are not (their manifests deleted = crash before the commit

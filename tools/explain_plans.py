@@ -32,6 +32,8 @@ PLAN_QUERIES = [
     "embedding_ivf_topk",
     "dedup_exact",
     "minhash_lsh",
+    "lsh_jaccard",
+    "doc_splits",
     "doc_cascade",
 ]
 

@@ -115,14 +115,16 @@ def main():
     }
     print(json.dumps(report, indent=2))
 
-    md = f"""# BENCH/BASELINE — bfokg scaling + throughput evidence
+    # Append-only (round 5): an earlier version of this tool REWROTE the
+    # file's head section and clobbered the curated multi-run comparison
+    # table (including the standing quiet-box 0.806 row). New runs now
+    # append a dated section; fold the row into the head table by hand.
+    md = f"""
 
-Generated by `tools/scaling_bench.py` at {report['ts']}: same job
-(KG-construction dataflow: extract → link → dedup → count), same input
-(seed-42 synthetic transcripts, sf={SCALE_SF} amplified ×{SCALE_FACTOR} →
-{r8['turns']} distinct turns across 64 parquet files), two parallelism levels — the sandbox substitute
-for N vs 4N executors per the driver instruction. One warm-up pass per
-JVM, best of two timed runs.
+## KG-pipeline scaling run — `tools/scaling_bench.py` {report['ts']}
+
+Same protocol as the head section (sf={SCALE_SF} ×{SCALE_FACTOR} =
+{r8['turns']} turns, fresh JVM per parallelism, warm-up, best of two).
 
 | parallelism | wall sec | turns/sec | edges |
 |---|---|---|---|
@@ -131,31 +133,14 @@ JVM, best of two timed runs.
 
 **Scaling efficiency** = (throughput@32 / throughput@8) / 4 =
 **{report['scaling_efficiency']}** (north_rule target ≥ 0.8).
-External load during the run (1/5/15-min /proc/loadavg, run's own JVMs
-included in the "after" sample): before = {load_before}, after =
-{load_after}. VERDICT r3 asked for a quiet-box (< ~2 ambient) re-run;
-this row records the load evidence inline so it is self-adjudicating.
-
-Companion evidence: `BENCH/CLOSURE.md` (iterative P279 closure scaling),
-`BENCH/EVAL.md` (fixture accuracy), `BENCH/PLANS.md` (physical plans),
-`BENCH/DEDUP.md` (corpus-dedup scaling attribution).
+loadavg before/after (after includes the run's own JVMs):
+{load_before} / {load_after}.
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    # Replace ONLY the header section this tool owns; every section from
-    # the first '## ' heading it does not generate (spark-submit evidence,
-    # dedup scaling, attributions) is preserved verbatim.
-    tail = ""
-    if os.path.exists(out_path):
-        existing = open(out_path).read()
-        idx = existing.find("\n## spark-submit")
-        if idx == -1:
-            idx = existing.find("\n## Corpus-dedup")
-        if idx != -1:
-            tail = existing[idx:]
-    with open(out_path, "w") as f:
-        f.write(md + tail)
-    print(f"wrote {out_path} (preserved {len(tail)} bytes of appended sections)")
+    with open(out_path, "a") as f:
+        f.write(md)
+    print(f"appended run section to {out_path}")
 
 
 if __name__ == "__main__":

@@ -735,17 +735,25 @@ WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, subword estimate, lang-ID, quality,
-    fingerprint — all JVM-side column expressions."""
+    fingerprint, boilerplate counts, and Gopher-style repetition signals.
+    Everything except top_2gram_frac is a JVM-side column expression;
+    top_2gram_frac is the explode/agg operator (operators.repetition) —
+    linear, map-side partial-aggregated, joined back per doc."""
     from bfokg.functions.textstats import (
         alpha_ratio_col,
+        dup_line_fraction_col,
+        email_count_col,
         fingerprint_col,
         lang_id_col,
         quality_score_col,
         subword_estimate_col,
         token_count_col,
+        url_count_col,
     )
+    from bfokg.operators.repetition import top_ngram_stats
 
-    return _docs(spark, sf_dir).select(
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
         "doc_id",
         token_count_col("text").alias("n_tokens"),
         subword_estimate_col("text").cast("long").alias("est_subwords"),
@@ -753,6 +761,16 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id_col("text").alias("lang_pred"),
         F.round(quality_score_col("text"), 6).alias("quality"),
         fingerprint_col("text").alias("fingerprint"),
+        F.round(dup_line_fraction_col("text"), 6).alias("dup_line_frac"),
+        url_count_col("text").alias("n_urls"),
+        email_count_col("text").alias("n_emails"),
+    )
+    rep = top_ngram_stats(docs, n=2)
+    return base.join(rep, "doc_id", "left").select(
+        base["*"],
+        F.round(F.coalesce(F.col("top_ngram_frac"), F.lit(0.0)), 6).alias(
+            "top_2gram_frac"
+        ),
     )
 
 
@@ -780,8 +798,20 @@ s AS (
   SELECT doc_id, text, toks, len(toks) AS n_tokens,
          {', '.join(lang_exprs)}
   FROM t
+),
+rep AS (
+  SELECT doc_id,
+         round(max(c) * 1.0 / sum(c), 6) AS top_2gram_frac
+  FROM (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS gram
+      FROM t WHERE len(toks) >= 2
+    ) GROUP BY doc_id, gram
+  ) GROUP BY doc_id
 )
-SELECT doc_id, n_tokens,
+SELECT s.doc_id, n_tokens,
        greatest(CAST(ceil(length(text) / 4.0) AS BIGINT), n_tokens) AS est_subwords,
        round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
              / greatest(length(text), 1), 6) AS alpha_ratio,
@@ -791,8 +821,17 @@ SELECT doc_id, n_tokens,
              + 0.3 * least(hits_en / 10.0 * 2, 1.0)
              + 0.3 * least(n_tokens / 200.0, 1.0), 6) AS quality,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                               ' +', ' ', 'g'))) AS fingerprint
-FROM s
+                               ' +', ' ', 'g'))) AS fingerprint,
+       round(CASE WHEN len(lines) > 0
+             THEN 1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
+             ELSE 0.0 END, 6) AS dup_line_frac,
+       len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+       round(coalesce(rep.top_2gram_frac, 0.0), 6) AS top_2gram_frac
+FROM (SELECT *, [trim(l) FOR l IN string_split(text, chr(10)) IF trim(l) <> ''] AS lines
+      FROM s) s
+LEFT JOIN rep ON s.doc_id = rep.doc_id
 """
 
 

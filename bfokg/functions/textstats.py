@@ -6,6 +6,10 @@ ANSI SQL so the DuckDB oracle can verify them bit-for-bit.
 - language ID: stopword-hit heuristic over small per-language wordlists
 - quality scoring: length/alpha-ratio/stopword-ratio composite
 - fingerprinting: md5 of normalized text (content-defined identity)
+- repetition signals (Gopher-style, Rae et al. 2021 §A1.1): duplicate-line
+  fraction as a pure projection; word n-grams for the top-n-gram
+  aggregate in ``operators.repetition``
+- boilerplate counts: URLs / e-mail addresses per document
 """
 
 from __future__ import annotations
@@ -75,6 +79,56 @@ def quality_score_col(text_col) -> Column:
         + F.lit(0.3) * F.least(stop_ratio * 2, F.lit(1.0))
         + F.lit(0.3) * len_signal
     )
+
+
+#: portable between Java regex and DuckDB (RE2-style) — keep them simple
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def lines_col(text_col) -> Column:
+    """Non-empty trimmed lines of the document."""
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+
+
+def dup_line_fraction_col(text_col) -> Column:
+    """Gopher-style duplicate-line fraction: 1 − distinct/total over
+    non-empty trimmed lines (0.0 when the doc has no lines). Templated /
+    boilerplate-heavy documents score high. Pure projection — per-row
+    array ops, no shuffle; line count is bounded by document size, so the
+    per-row cost is linear in the doc."""
+    lines = lines_col(text_col)
+    n = F.size(lines)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(lines)) / n
+    ).otherwise(F.lit(0.0))
+
+
+def url_count_col(text_col) -> Column:
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    return F.regexp_count(c, F.lit(URL_RE)).cast("long")
+
+
+def email_count_col(text_col) -> Column:
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    return F.regexp_count(c, F.lit(EMAIL_RE)).cast("long")
+
+
+def word_ngrams_col(text_col, n: int = 2) -> Column:
+    """Word n-grams (space-joined) over ``tokens_col``; empty array when
+    the doc has fewer than ``n`` tokens. The CASE guard matters: Spark's
+    ``sequence(1, 0)`` counts DOWN (default step −1), so the short-doc
+    branch must never evaluate the sequence."""
+    toks = tokens_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, grams).otherwise(empty)
 
 
 def fingerprint_col(text_col) -> Column:

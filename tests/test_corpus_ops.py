@@ -481,6 +481,56 @@ def test_textstats(spark):
     assert rows[1].fp != rows[3].fp
 
 
+def test_repetition_and_boilerplate_stats(spark):
+    """Gopher-style repetition signals + URL/e-mail counts, hand-computed.
+
+    doc 1: lines (trimmed, non-empty) = header, body one, header, header
+           → dup_line_frac = 1 − 2/4 = 0.5
+    doc 2: bigrams = the cat | cat the | the cat | cat sat → top 2/4 = 0.5
+    doc 3: one token → zero bigrams → NO row from top_ngram_stats
+    """
+    from bfokg.functions.textstats import (
+        dup_line_fraction_col,
+        email_count_col,
+        url_count_col,
+        word_ngrams_col,
+    )
+    from bfokg.operators.repetition import top_ngram_stats
+
+    rows = [
+        (1, "header\nbody one\nheader\n\n  header  \n"),
+        (2, "the cat the cat sat"),
+        (3, "one"),
+        (4, ""),
+        (5, "see https://x.y/z and http://a.b then mail a@b.cc please"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            dup_line_fraction_col("text").alias("dlf"),
+            url_count_col("text").alias("urls"),
+            email_count_col("text").alias("emails"),
+            word_ngrams_col("text", 2).alias("bi"),
+            word_ngrams_col("text", 3).alias("tri"),
+        ).collect()
+    }
+    assert got[1].dlf == 0.5
+    assert got[2].dlf == 0.0 and got[4].dlf == 0.0
+    assert got[5].urls == 2 and got[5].emails == 1
+    assert got[1].urls == 0 and got[1].emails == 0
+    assert got[2].bi == ["the cat", "cat the", "the cat", "cat sat"]
+    assert got[2].tri == ["the cat the", "cat the cat", "the cat sat"]
+    assert got[3].bi == [] and got[4].bi == []  # short docs: guarded empty
+
+    rep = {r.doc_id: r for r in top_ngram_stats(df, n=2).collect()}
+    assert rep[2].n_ngrams == 4 and rep[2].top_ngram_frac == 0.5
+    assert 3 not in rep and 4 not in rep  # <n tokens → no row (left-join side)
+    tri = {r.doc_id: r for r in top_ngram_stats(df, n=3).collect()}
+    assert tri[2].n_ngrams == 3 and abs(tri[2].top_ngram_frac - 1 / 3) < 1e-12
+
+
 def _bmp_bytes(arr):
     """Minimal uncompressed 24-bit BMP encoder (test-side golden source).
     arr: uint8 [h, w, 3] in RGB."""

@@ -117,6 +117,27 @@ def email_count_col(text_col) -> Column:
     return F.regexp_count(c, F.lit(EMAIL_RE)).cast("long")
 
 
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def redact_pii_col(
+    text_col,
+    url_token: str = "<URL>",
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+) -> Column:
+    """Replace URLs, e-mail addresses, and IPv4 literals with sentinel
+    tokens — the standard pre-training scrub. URL first: a URL may embed
+    ``user:pass@host`` which would otherwise half-match the e-mail
+    pattern. Pure chained ``regexp_replace`` (JVM, codegen); the same
+    three patterns run identically under DuckDB's RE2 (pinned in
+    tests/test_corpus_ops.py)."""
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    out = F.regexp_replace(c, URL_RE, url_token)
+    out = F.regexp_replace(out, EMAIL_RE, email_token)
+    return F.regexp_replace(out, IPV4_RE, ip_token)
+
+
 def word_ngrams_col(text_col, n: int = 2) -> Column:
     """Word n-grams (space-joined) over ``tokens_col``; empty array when
     the doc has fewer than ``n`` tokens. The CASE guard matters: Spark's

@@ -1,0 +1,111 @@
+"""Temporal joins Spark lacks natively — as-of join via the union +
+keyed-window trick.
+
+No reference counterpart (the reference has no temporal data at all);
+this serves the transcripts/events side of the engine: "attach to each
+turn the most recent preceding event of the same conversation/user"
+is the canonical enrichment step for sessionized training data, and
+doing it with an inequality theta-join is a cross-product disaster at
+scale.
+
+Scale shape: ONE shuffle, both sides hash-partitioned together on the
+``by`` keys, then a single linear window scan per key (no sort-merge
+inequality join, no per-key Python). Cost is O((|L|+|R|) log) for the
+per-partition sort. The ``by`` keys are mandatory: a global (un-keyed)
+as-of is a single ordered sequence — one partition, no parallelism —
+so this operator refuses it rather than silently serializing; time-
+bucket the input and carry per-bucket maxima if you genuinely need a
+global as-of. Skew: per-key window state is one row (the running last
+right payload), so even a hub key costs only its own sort.
+
+Verification: pytest compares against DuckDB's native ASOF JOIN
+bit-for-bit (both directions, tolerance, composite keys, ties) — the
+same oracle-grade evidence the driver queries get, in-test because the
+driver's 50-entry artifact is deliberately kept at exactly the 50
+oracle-backed queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | str | None = None,
+    direction: str = "backward",
+    tolerance: Column | str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the payload of the single
+    ``right`` row with the largest ``on`` ≤ left's (``direction=
+    "backward"``, inclusive — pandas ``merge_asof`` / DuckDB ``ASOF
+    JOIN`` semantics) or smallest ``on`` ≥ left's (``"forward"``) within
+    the same ``by`` keys. Unmatched left rows keep nulls.
+
+    ``right`` must be unique per (``by``, ``on``) — among equal
+    timestamps there is no well-defined "latest"; pre-aggregate first.
+    ``tolerance``: an INTERVAL expression (e.g. ``F.expr("INTERVAL 5
+    MINUTES")`` or the string ``"INTERVAL 5 MINUTES"``); matches farther
+    than that from the left timestamp are nulled (the row is kept).
+
+    Right payload columns (everything except ``by`` + ``on``) come back
+    suffixed; the matched right timestamp as ``{on}{suffix}``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    if not by:
+        raise ValueError(
+            "asof_join requires by-keys: a global as-of is a single ordered "
+            "sequence (one partition, zero parallelism) — time-bucket instead"
+        )
+    by = [by] if isinstance(by, str) else list(by)
+    if isinstance(tolerance, str):
+        tolerance = F.expr(tolerance)
+
+    payload_cols = [c for c in right.columns if c not in by and c != on]
+    payload = F.struct(
+        F.col(on).alias(on), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    # markers order equal timestamps so the right row is INSIDE the frame:
+    # backward (frame ...current): right first; forward (current...): right last
+    r_mark = 0 if direction == "backward" else 1
+    r = right.select(
+        *by, F.col(on).alias("_asof_ts"), payload.alias("_asof_payload"),
+        F.lit(r_mark).alias("_asof_side"),
+    )
+    l = left.select(
+        "*", F.col(on).alias("_asof_ts"),
+        F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
+        F.lit(1 - r_mark).alias("_asof_side"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = Window.partitionBy(*by).orderBy("_asof_ts", "_asof_side")
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        match = F.last("_asof_payload", ignorenulls=True).over(w)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        match = F.first("_asof_payload", ignorenulls=True).over(w)
+
+    out = unioned.withColumn("_asof_match", match).where(
+        F.col("_asof_side") == (1 - r_mark)
+    )
+    if tolerance is not None:
+        gap_ok = (
+            F.col("_asof_match")[on] >= F.col("_asof_ts") - tolerance
+            if direction == "backward"
+            else F.col("_asof_match")[on] <= F.col("_asof_ts") + tolerance
+        )
+        out = out.withColumn(
+            "_asof_match", F.when(gap_ok, F.col("_asof_match"))
+        )
+    result = out.select(
+        *left.columns,
+        F.col("_asof_match")[on].alias(f"{on}{suffix}"),
+        *[F.col("_asof_match")[c].alias(f"{c}{suffix}") for c in payload_cols],
+    )
+    return result

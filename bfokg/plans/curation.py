@@ -63,6 +63,7 @@ def run_curation(
     split_weights: dict[str, float] | None = None,
     lang_fractions: dict[str, float] | None = None,
     default_fraction: float = 1.0,
+    redact_pii: bool = False,
     seed: int = 42,
 ) -> dict:
     """Run the curation DAG over ``docs`` (``doc_id``, ``text``).
@@ -139,6 +140,10 @@ def run_curation(
             .join(keep_t.where(F.col("is_keeper")).select("doc_id"), "doc_id")
             .where(F.col("quality") >= min_quality)
         )
+        if redact_pii:
+            from ..functions.textstats import redact_pii_col
+
+            kept = kept.withColumn("text", redact_pii_col("text"))
         labeled = hash_split(kept, split_weights, seed=seed)
         sampled = stratified_sample(
             labeled, lang_fractions or {}, "lang_pred",
@@ -149,7 +154,8 @@ def run_curation(
                          parents=[stats_dir, keep_dir])
         log.record("corpus", read_manifest(keep_dir)["rows"], cm["rows"], t0,
                    extra={"min_quality": min_quality,
-                          "default_fraction": default_fraction})
+                          "default_fraction": default_fraction,
+                          "redact_pii": redact_pii})
         log.record_partitions("corpus", cm, t0)
 
     lineage_manifest = log.write(os.path.join(out_dir, "lineage"))

@@ -531,6 +531,64 @@ def test_repetition_and_boilerplate_stats(spark):
     assert tri[2].n_ngrams == 3 and abs(tri[2].top_ngram_frac - 1 / 3) < 1e-12
 
 
+def test_redact_pii_matches_duckdb(spark):
+    """redact_pii_col: hand pins + cross-engine pin — the same three
+    patterns replayed with DuckDB regexp_replace(…, 'g') must produce
+    byte-identical redacted text (Java regex vs RE2 portability)."""
+    import duckdb
+
+    from bfokg.functions.textstats import (
+        EMAIL_RE,
+        IPV4_RE,
+        URL_RE,
+        redact_pii_col,
+    )
+
+    rows = [
+        (1, "visit https://u:p@ex.com/a?b=1 or mail bob.smith+x@ex-ample.co.uk"),
+        (2, "server at 10.0.255.3 port 80; version 1.2.3.4.5 is not an ip? "),
+        (3, "plain text, no pii at all"),
+        (4, ""),
+        (5, "HTTP://CAPS.example notawebsite http://ok.io/x. a@b.cc."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.red
+        for r in df.select("doc_id", redact_pii_col("text").alias("red")).collect()
+    }
+    assert got[1] == "visit <URL> or mail <EMAIL>"
+    assert "<IP>" in got[2] and "10.0.255.3" not in got[2]
+    assert got[3] == rows[2][1] and got[4] == ""
+    # uppercase scheme is NOT matched (https? is case-sensitive both engines)
+    assert got[5].startswith("HTTP://CAPS.example notawebsite <URL>")
+
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    duck = {
+        d: r
+        for d, r in con.sql(
+            f"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+                  '{URL_RE}', '<URL>', 'g'),
+                  '{EMAIL_RE}', '<EMAIL>', 'g'),
+                  '{IPV4_RE.replace("'", "''")}', '<IP>', 'g') FROM t"""
+        ).fetchall()
+    }
+    assert got == duck
+
+
+def test_curation_redact_pii_flag(spark, tmp_path):
+    from bfokg.plans.curation import run_curation
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text mail-{i}@ex.com see https://ex.com/{i} fine") for i in range(40)],
+        "doc_id long, text string",
+    )
+    res = run_curation(spark, docs, str(tmp_path / "cur"), redact_pii=True)
+    texts = [r.text for r in res["corpus"].select("text").collect()]
+    assert texts and all("@ex.com" not in t and "https://" not in t for t in texts)
+    assert all("<EMAIL>" in t and "<URL>" in t for t in texts)
+
+
 def _bmp_bytes(arr):
     """Minimal uncompressed 24-bit BMP encoder (test-side golden source).
     arr: uint8 [h, w, 3] in RGB."""

@@ -1,0 +1,117 @@
+"""asof_join vs DuckDB's native ASOF JOIN — exact multiset equality.
+
+In-test oracle (not a driver query: the driver's 50-entry artifact is
+kept at exactly the 50 oracle-backed queries), same evidence grade —
+DuckDB implements the reference semantics natively.
+"""
+
+import datetime as dt
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from bfokg.operators.temporal import asof_join
+
+BASE = dt.datetime(2026, 1, 1)
+
+
+def _frames(seed=7, n_left=300, n_right=200, users=5):
+    rng = np.random.default_rng(seed)
+    # unique (user, ts) on the right: sample offsets without replacement
+    left = pd.DataFrame(
+        {
+            "user_id": rng.integers(1, users + 1, n_left),
+            "ts": [BASE + dt.timedelta(seconds=int(s))
+                   for s in rng.integers(0, 5000, n_left)],
+            "turn": np.arange(n_left),
+        }
+    )
+    offs = rng.choice(5000, size=n_right, replace=False)
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(1, users + 1, n_right),
+            "ts": [BASE + dt.timedelta(seconds=int(s)) for s in offs],
+            "value": rng.random(n_right).round(6),
+        }
+    )
+    # force a few exact-tie timestamps to pin inclusivity
+    right.loc[0, ["user_id", "ts"]] = [left.loc[0, "user_id"], left.loc[0, "ts"]]
+    right.loc[1, "value"] = 0.5
+    return left, right
+
+
+def _duck_asof(left, right, direction, tolerance_s=None):
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    cmp = "l.ts >= r.ts" if direction == "backward" else "l.ts <= r.ts"
+    q = f"""
+    SELECT l.user_id, l.ts, l.turn, r.ts AS ts_right, r.value AS value_right
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND {cmp}
+    """
+    out = con.sql(q).df()
+    if tolerance_s is not None:
+        gap = (out["ts"] - out["ts_right"]).abs() > pd.Timedelta(seconds=tolerance_s)
+        out.loc[gap, ["ts_right", "value_right"]] = [pd.NaT, np.nan]
+    return out
+
+
+def _as_set(df):
+    def norm(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)) or pd.isna(v):
+            return None
+        if isinstance(v, (pd.Timestamp, dt.datetime)):
+            return pd.Timestamp(v).to_pydatetime()
+        return v
+
+    return sorted(
+        tuple(norm(v) for v in row)
+        for row in df[["user_id", "ts", "turn", "ts_right", "value_right"]]
+        .itertuples(index=False)
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_duckdb(spark, direction):
+    left, right = _frames()
+    # uniqueness precondition for well-defined ties
+    assert not right.duplicated(["user_id", "ts"]).any()
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="ts",
+        by="user_id",
+        direction=direction,
+    ).toPandas()
+    want = _duck_asof(left, right, direction)
+    assert _as_set(got) == _as_set(want)
+    # the planted exact-tie timestamp must match (inclusive semantics)
+    tie = got[got.turn == 0].iloc[0]
+    assert tie.ts_right == tie.ts
+
+
+def test_asof_join_tolerance_and_unmatched(spark):
+    left, right = _frames(seed=11)
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        tolerance="INTERVAL 90 SECONDS",
+    ).toPandas()
+    want = _duck_asof(left, right, "backward", tolerance_s=90)
+    assert _as_set(got) == _as_set(want)
+    assert got.ts_right.isna().any()            # tolerance actually nulls some
+    assert len(got) == len(left)                # left join: every row kept
+
+
+def test_asof_join_refuses_global(spark):
+    left, right = _frames()
+    with pytest.raises(ValueError, match="by-keys"):
+        asof_join(spark.createDataFrame(left), spark.createDataFrame(right),
+                  on="ts", by=None)

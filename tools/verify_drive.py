@@ -107,5 +107,21 @@ for name in ("kg_nodes_canon", "eval_rule_accuracy", "image_features"):
     cnt = q3[name](spark, "/root/testdata/sf0.001").count()
     assert cnt > 0, name
 print("round2c OK: real PNM decode + 3 new oracle queries run")
+
+# round-5 surfaces: repetition stats + as-of join on the events table
+from bfokg.operators.repetition import top_ngram_stats
+from bfokg.operators.temporal import asof_join
+docs5 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+rep = top_ngram_stats(docs5.limit(50))
+assert rep.count() > 0 and rep.where(F.col("top_ngram_frac") > 1).count() == 0
+ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+buys = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value") \
+         .dropDuplicates(["user_id", "ts"])
+aj = asof_join(clicks, buys, on="ts", by="user_id",
+               tolerance="INTERVAL 7 DAYS")
+n_aj = aj.count(); n_cl = clicks.count()
+assert n_aj == n_cl and n_aj > 0, (n_aj, n_cl)
+print(f"round5 OK: top_ngram_stats bounded, asof_join keeps all {n_cl} left rows")
 print("VERIFY_DRIVE_ALL_OK")
 spark.stop()

@@ -30,6 +30,47 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: list[str] | str | None = None,
+    gap: Column | str = "INTERVAL 30 MINUTES",
+    tiebreak: list[str] | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: rows of the same ``by`` keys whose
+    timestamps are within ``gap`` of the previous row share a session;
+    a strictly-larger gap starts a new one. ``session_id`` =
+    ``"<by…>#<per-key session ordinal>"`` — deterministic, replayable.
+
+    The batch complement of ``streaming.stream_conversation_stats``
+    (session semantics over an unbounded stream need state; over a table
+    they are two keyed windows): lag → new-session flag → running sum.
+    ONE shuffle on the ``by`` keys, linear per-key scan. ``tiebreak``
+    columns order equal timestamps deterministically (e.g. ``turn_idx``
+    for transcripts); without them, equal-``ts`` rows within a key make
+    lag order engine-dependent."""
+    if not by:
+        raise ValueError("sessionize requires by-keys (see asof_join)")
+    by = [by] if isinstance(by, str) else list(by)
+    if isinstance(gap, str):
+        gap = F.expr(gap)
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*by).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    flagged = df.withColumn(
+        "_sess_new",
+        F.when(prev.isNull() | (F.col(ts_col) > prev + gap), 1).otherwise(0),
+    )
+    seq = F.sum("_sess_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = F.concat_ws(
+        "#", *[F.col(c).cast("string") for c in by], seq.cast("string")
+    )
+    return flagged.withColumn(session_col, sid).drop("_sess_new")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

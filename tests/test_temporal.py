@@ -110,6 +110,52 @@ def test_asof_join_tolerance_and_unmatched(spark):
     assert len(got) == len(left)                # left join: every row kept
 
 
+def test_sessionize_matches_duckdb(spark):
+    """sessionize vs the identical two-window SQL in DuckDB, plus hand
+    pins: a gap exactly equal to the threshold does NOT split."""
+    from bfokg.operators.temporal import sessionize
+
+    left, _ = _frames(seed=23, n_left=400)
+    left = left.drop_duplicates(["user_id", "ts"])  # deterministic lag order
+    got = sessionize(
+        spark.createDataFrame(left), ts_col="ts", by="user_id",
+        gap="INTERVAL 5 MINUTES",
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("t", left)
+    want = con.sql(
+        """
+        SELECT user_id, ts, turn,
+               user_id::VARCHAR || '#' ||
+               sum(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 5 MINUTES
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING)::VARCHAR AS session_id
+        FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM t)
+        """
+    ).df()
+    key = ["user_id", "ts", "turn"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert list(g.session_id) == list(w.session_id)
+    assert g.session_id.nunique() > left.user_id.nunique()  # gaps actually split
+
+    # boundary pin: gap == threshold stays in-session; gap+1s splits
+    b = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": [BASE, BASE + dt.timedelta(minutes=5),
+                   BASE + dt.timedelta(minutes=10, seconds=1)],
+            "turn": [0, 1, 2],
+        }
+    )
+    sb = sessionize(
+        spark.createDataFrame(b), by="user_id", gap="INTERVAL 5 MINUTES"
+    ).toPandas().sort_values("turn")
+    assert list(sb.session_id) == ["1#1", "1#1", "1#2"]
+
+
 def test_asof_join_refuses_global(spark):
     left, right = _frames()
     with pytest.raises(ValueError, match="by-keys"):

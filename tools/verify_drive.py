@@ -122,6 +122,10 @@ aj = asof_join(clicks, buys, on="ts", by="user_id",
                tolerance="INTERVAL 7 DAYS")
 n_aj = aj.count(); n_cl = clicks.count()
 assert n_aj == n_cl and n_aj > 0, (n_aj, n_cl)
-print(f"round5 OK: top_ngram_stats bounded, asof_join keeps all {n_cl} left rows")
+from bfokg.operators.temporal import sessionize
+sess = sessionize(t, ts_col="ts", by="conv_id", gap="INTERVAL 10 MINUTES",
+                  tiebreak=["turn_idx"])
+assert sess.count() == t.count()
+print(f"round5 OK: top_ngram_stats bounded, asof_join keeps all {n_cl} left rows, sessionize total-preserving")
 print("VERIFY_DRIVE_ALL_OK")
 spark.stop()

@@ -53,6 +53,10 @@ def sessionize(
     if not by:
         raise ValueError("sessionize requires by-keys (see asof_join)")
     by = [by] if isinstance(by, str) else list(by)
+    if "_sess_new" in df.columns or session_col in df.columns:
+        raise ValueError(
+            f"column collision: {'_sess_new' if '_sess_new' in df.columns else session_col}"
+        )
     if isinstance(gap, str):
         gap = F.expr(gap)
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
@@ -106,7 +110,16 @@ def asof_join(
     if isinstance(tolerance, str):
         tolerance = F.expr(tolerance)
 
+    clash = [c for c in left.columns + right.columns if c.startswith("_asof_")]
+    if clash:
+        raise ValueError(f"_asof_* column names are reserved: {clash}")
     payload_cols = [c for c in right.columns if c not in by and c != on]
+    out_clash = [c for c in [on] + payload_cols if f"{c}{suffix}" in left.columns]
+    if out_clash:
+        raise ValueError(
+            f"output columns would shadow left columns: "
+            f"{[f'{c}{suffix}' for c in out_clash]} — pass a different suffix"
+        )
     payload = F.struct(
         F.col(on).alias(on), *[F.col(c).alias(c) for c in payload_cols]
     )

@@ -30,6 +30,126 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def asof_join_global(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    direction: str = "backward",
+    bucket_seconds: int = 3600,
+    tolerance: Column | str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Global (un-keyed) as-of join — the scale path ``asof_join`` refuses
+    to fake. A global as-of is inherently one ordered sequence; the
+    distributed decomposition is time-bucketing:
+
+      1. reduce ``right`` to ONE row per time bucket (``max_by``/
+         ``min_by`` payload — map-side partial agg, shuffle O(buckets));
+      2. compute each bucket's CARRY — the latest right payload in any
+         strictly-earlier bucket (strictly-later for forward) — with a
+         single-partition window over the BUCKET SUMMARIES, i.e. the
+         serial part shrinks from O(rows) to O(buckets);
+      3. broadcast the carry table, and resolve within-bucket matches
+         with the same union+window trick as ``asof_join`` partitioned
+         by bucket; ``coalesce(in_bucket, carry)``.
+
+    Exact (DuckDB-ASOF-pinned for every bucket width, including the
+    degenerate single-bucket and mostly-empty-bucket cases — tests).
+    ``bucket_seconds`` tunes parallelism: pick it so a bucket's rows fit
+    a task (hot-minute skew → smaller buckets) while the bucket COUNT
+    (time span / width) stays small enough to broadcast — at 10^12 rows
+    over a year, hourly buckets are 8.8k summary rows. ``right`` must be
+    unique per ``on``. ``on`` must be a timestamp column."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    clash = [c for c in left.columns + right.columns if c.startswith("_asof_")]
+    if clash:
+        raise ValueError(f"_asof_* column names are reserved: {clash}")
+    if isinstance(tolerance, str):
+        tolerance = F.expr(tolerance)
+    payload_cols = [c for c in right.columns if c != on]
+    out_clash = [c for c in [on] + payload_cols if f"{c}{suffix}" in left.columns]
+    if out_clash:
+        raise ValueError(
+            f"output columns would shadow left columns: "
+            f"{[f'{c}{suffix}' for c in out_clash]} — pass a different suffix"
+        )
+    payload = F.struct(
+        F.col(on).alias(on), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    bkt = F.floor(F.unix_micros(F.col(on)) / F.lit(int(bucket_seconds * 1_000_000)))
+    back = direction == "backward"
+
+    # 1. one summary row per non-empty right bucket
+    agg = F.max_by(payload, F.col(on)) if back else F.min_by(payload, F.col(on))
+    rb = right.withColumn("_asof_bkt", bkt)
+    bucket_last = rb.groupBy("_asof_bkt").agg(agg.alias("_asof_payload"))
+
+    # 2. carry per LEFT bucket: last/first summary from strictly-adjacent-
+    #    side buckets. Serial, but over O(buckets) rows, not O(rows).
+    lb = left.withColumn("_asof_bkt", bkt)
+    need = lb.select("_asof_bkt").distinct().withColumn("_asof_side", F.lit(0))
+    summaries = bucket_last.withColumn("_asof_side", F.lit(1))
+    seq = need.unionByName(summaries, allowMissingColumns=True)
+    # left marker 0: a left bucket's frame edge excludes its OWN bucket's
+    # right summary (within-bucket rows are resolved exactly in step 3)
+    if back:
+        w = Window.orderBy("_asof_bkt", "_asof_side").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        carry_expr = F.last("_asof_payload", ignorenulls=True).over(w)
+    else:
+        # desc buckets, ASC side: (b, left=0) precedes (b, right=1), so a
+        # left bucket's frame still excludes its own bucket's summary
+        w = Window.orderBy(F.desc("_asof_bkt"), F.asc("_asof_side")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        carry_expr = F.last("_asof_payload", ignorenulls=True).over(w)
+    carry = (
+        seq.withColumn("_asof_carry", carry_expr)
+        .where(F.col("_asof_side") == 0)
+        .select("_asof_bkt", "_asof_carry")
+    )
+
+    # 3. within-bucket resolution, partitioned by bucket
+    r_mark = 0 if back else 1
+    r = rb.select(
+        "_asof_bkt", F.col(on).alias("_asof_ts"), payload.alias("_asof_payload"),
+        F.lit(r_mark).alias("_asof_side"),
+    )
+    l = lb.select(
+        "*", F.col(on).alias("_asof_ts"),
+        F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
+        F.lit(1 - r_mark).alias("_asof_side"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    wb = Window.partitionBy("_asof_bkt").orderBy("_asof_ts", "_asof_side")
+    if back:
+        wb = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        in_bucket = F.last("_asof_payload", ignorenulls=True).over(wb)
+    else:
+        wb = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        in_bucket = F.first("_asof_payload", ignorenulls=True).over(wb)
+    out = (
+        unioned.withColumn("_asof_in", in_bucket)
+        .where(F.col("_asof_side") == (1 - r_mark))
+        .join(F.broadcast(carry), "_asof_bkt", "left")
+        .withColumn("_asof_match", F.coalesce("_asof_in", "_asof_carry"))
+    )
+    if tolerance is not None:
+        gap_ok = (
+            F.col("_asof_match")[on] >= F.col("_asof_ts") - tolerance
+            if back
+            else F.col("_asof_match")[on] <= F.col("_asof_ts") + tolerance
+        )
+        out = out.withColumn("_asof_match", F.when(gap_ok, F.col("_asof_match")))
+    return out.select(
+        *left.columns,
+        F.col("_asof_match")[on].alias(f"{on}{suffix}"),
+        *[F.col("_asof_match")[c].alias(f"{c}{suffix}") for c in payload_cols],
+    )
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",
@@ -104,7 +224,8 @@ def asof_join(
     if not by:
         raise ValueError(
             "asof_join requires by-keys: a global as-of is a single ordered "
-            "sequence (one partition, zero parallelism) — time-bucket instead"
+            "sequence (one partition, zero parallelism) — use asof_join_global, "
+            "which time-buckets it"
         )
     by = [by] if isinstance(by, str) else list(by)
     if isinstance(tolerance, str):

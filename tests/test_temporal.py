@@ -110,6 +110,65 @@ def test_asof_join_tolerance_and_unmatched(spark):
     assert len(got) == len(left)                # left join: every row kept
 
 
+def _duck_asof_global(left, right, direction, tolerance_s=None):
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    cmp = "l.ts >= r.ts" if direction == "backward" else "l.ts <= r.ts"
+    out = con.sql(
+        f"""SELECT l.user_id, l.ts, l.turn, r.ts AS ts_right,
+                   r.value AS value_right
+            FROM l ASOF LEFT JOIN r ON {cmp}"""
+    ).df()
+    if tolerance_s is not None:
+        gap = (out["ts"] - out["ts_right"]).abs() > pd.Timedelta(seconds=tolerance_s)
+        out.loc[gap, ["ts_right", "value_right"]] = [pd.NaT, np.nan]
+    return out
+
+
+@pytest.mark.parametrize(
+    "direction,bucket_s",
+    [
+        ("backward", 60),          # mixed in-bucket + carry
+        ("backward", 1),           # most buckets right-less: carry-dominated
+        ("backward", 10**9),       # single bucket: pure within-bucket path
+        ("forward", 60),
+        ("forward", 10**9),
+    ],
+)
+def test_asof_join_global_matches_duckdb(spark, direction, bucket_s):
+    from bfokg.operators.temporal import asof_join_global
+
+    left, right = _frames(seed=5)
+    right = right.drop_duplicates(["ts"])  # global as-of: unique per ts
+    got = asof_join_global(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right[["ts", "value"]]),
+        on="ts",
+        direction=direction,
+        bucket_seconds=bucket_s,
+    ).toPandas()
+    want = _duck_asof_global(left, right, direction)
+    assert _as_set(got) == _as_set(want)
+
+
+def test_asof_join_global_tolerance(spark):
+    from bfokg.operators.temporal import asof_join_global
+
+    left, right = _frames(seed=13)
+    right = right.drop_duplicates(["ts"])
+    got = asof_join_global(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right[["ts", "value"]]),
+        on="ts",
+        bucket_seconds=120,
+        tolerance="INTERVAL 90 SECONDS",
+    ).toPandas()
+    want = _duck_asof_global(left, right, "backward", tolerance_s=90)
+    assert _as_set(got) == _as_set(want)
+    assert len(got) == len(left)
+
+
 def test_sessionize_matches_duckdb(spark):
     """sessionize vs the identical two-window SQL in DuckDB, plus hand
     pins: a gap exactly equal to the threshold does NOT split."""

@@ -34,6 +34,7 @@ PLAN_QUERIES = [
     "minhash_lsh",
     "lsh_jaccard",
     "doc_splits",
+    "doc_stats",
     "doc_cascade",
 ]
 
@@ -52,6 +53,26 @@ def main():
         with redirect_stdout(buf):
             df.explain("formatted")
         out.append(f"\n## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
+    # temporal operators (not registry queries): the one-shuffle shape —
+    # a single hashpartitioning exchange on the by-keys feeding the window
+    from pyspark.sql import functions as F
+    from bfokg.operators.temporal import asof_join, sessionize
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys = (ev.where(F.col("event_type") == "purchase")
+            .select("user_id", "ts", "value").dropDuplicates(["user_id", "ts"]))
+    for name, df in (
+        ("asof_join (clicks ⟵ latest purchase per user)",
+         asof_join(clicks, buys, on="ts", by="user_id")),
+        ("sessionize (events, 30-min gap)",
+         sessionize(ev, ts_col="ts", by="user_id", tiebreak=["event_id"])),
+    ):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"\n## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
+
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -150,6 +150,103 @@ def asof_join_global(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    by: list[str] | str | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+    suffix: str = "_right",
+    guard: str = "warn",
+    max_expansion: float = 64.0,
+) -> DataFrame:
+    """Point-in-interval join: every ``points`` row paired with every
+    ``intervals`` row whose ``[start, end]`` contains its ``on``
+    timestamp (inclusive both ends — SQL ``BETWEEN`` semantics, and
+    1:N: a point can match several intervals). ``by`` adds equality
+    keys. ``how``: ``inner`` or ``left`` (unmatched points kept with
+    nulls). Intervals with ``start > end`` match nothing (as BETWEEN).
+
+    Scale shape: the naive form is a theta-join (cross product +
+    filter). Instead each point maps to ONE time bucket and each
+    interval EXPLODES into the buckets it covers, turning the range
+    predicate into an equi-join on (by…, bucket) + residual filter — a
+    plain shuffle join Catalyst/AQE can plan. A (point, interval) match
+    meets in exactly one bucket (the point's), so no dedup pass is
+    needed. Cost: O(points + Σ interval_length/bucket_seconds); pick
+    ``bucket_seconds`` near the median interval length. The pre-flight
+    ``guard`` (one aggregate over ``intervals``, same discipline as the
+    SimHash bucket-entropy guard) computes the exact expansion factor
+    and warns / raises (``strict``) / skips (``off``) when it exceeds
+    ``max_expansion`` — a mis-sized bucket fails in seconds, not hours."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left: {how!r}")
+    if guard not in ("warn", "strict", "off"):
+        raise ValueError(f"guard must be warn|strict|off: {guard!r}")
+    by = [by] if isinstance(by, str) else list(by or [])
+    clash = [c for c in points.columns + intervals.columns if c.startswith("_iv_")]
+    if clash:
+        raise ValueError(f"_iv_* column names are reserved: {clash}")
+    payload_cols = [c for c in intervals.columns if c not in by]
+    out_clash = [c for c in payload_cols if f"{c}{suffix}" in points.columns]
+    if out_clash:
+        raise ValueError(
+            f"output columns would shadow point columns: "
+            f"{[f'{c}{suffix}' for c in out_clash]} — pass a different suffix"
+        )
+    w_us = int(bucket_seconds * 1_000_000)
+    b_start = F.floor(F.unix_micros(F.col(start)) / F.lit(w_us))
+    b_end = F.floor(F.unix_micros(F.col(end)) / F.lit(w_us))
+    valid = intervals.where(F.col(start) <= F.col(end))
+
+    if guard != "off":
+        g = valid.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(b_end - b_start + 1).alias("rows_out"),
+        ).first()
+        if g.n and g.rows_out / g.n > max_expansion:
+            msg = (
+                f"interval_join expansion {g.rows_out / g.n:.1f}× over "
+                f"{g.n} intervals exceeds max_expansion={max_expansion} — "
+                f"bucket_seconds={bucket_seconds} is far below the typical "
+                f"interval length; raise it (or guard='off')"
+            )
+            if guard == "strict":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg)
+
+    iv = valid.select(
+        *by,
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_iv_payload"),
+        F.explode(F.sequence(b_start, b_end)).alias("_iv_bkt"),
+    )
+    pt = points.withColumn(
+        "_iv_bkt", F.floor(F.unix_micros(F.col(on)) / F.lit(w_us))
+    )
+    cond = [pt["_iv_bkt"] == iv["_iv_bkt"]]
+    cond += [pt[k] == iv[k] for k in by]
+    cond.append(
+        F.col(on).between(iv["_iv_payload"][start], iv["_iv_payload"][end])
+    )
+    joined = pt.join(iv, _and_all(cond), how)
+    return joined.select(
+        *[pt[c] for c in points.columns],
+        *[iv["_iv_payload"][c].alias(f"{c}{suffix}") for c in payload_cols],
+    )
+
+
+def _and_all(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",

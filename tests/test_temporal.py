@@ -169,6 +169,88 @@ def test_asof_join_global_tolerance(spark):
     assert len(got) == len(left)
 
 
+def _interval_frames(seed=17, n_pts=250, n_iv=60, users=4):
+    rng = np.random.default_rng(seed)
+    pts = pd.DataFrame(
+        {
+            "user_id": rng.integers(1, users + 1, n_pts),
+            "ts": [BASE + dt.timedelta(seconds=int(s))
+                   for s in rng.integers(0, 50_000, n_pts)],
+            "turn": np.arange(n_pts),
+        }
+    )
+    starts = rng.integers(0, 50_000, n_iv)
+    lengths = rng.integers(-500, 20_000, n_iv)  # some start > end (invalid)
+    iv = pd.DataFrame(
+        {
+            "user_id": rng.integers(1, users + 1, n_iv),
+            "start": [BASE + dt.timedelta(seconds=int(s)) for s in starts],
+            "end": [BASE + dt.timedelta(seconds=int(s + l))
+                    for s, l in zip(starts, lengths)],
+            "label": [f"iv{i}" for i in range(n_iv)],
+        }
+    )
+    return pts, iv
+
+
+def _duck_interval(pts, iv, how, keyed):
+    con = duckdb.connect()
+    con.register("p", pts)
+    con.register("i", iv)
+    key = "AND p.user_id = i.user_id" if keyed else ""
+    join = "JOIN" if how == "inner" else "LEFT JOIN"
+    return con.sql(
+        f"""SELECT p.user_id, p.ts, p.turn, i.start AS start_right,
+                   i.end AS end_right, i.label AS label_right
+            FROM p {join} i ON p.ts BETWEEN i.start AND i.end {key}"""
+    ).df()
+
+
+@pytest.mark.parametrize(
+    "how,keyed,bucket_s",
+    [
+        ("inner", True, 3600),
+        ("inner", False, 600),
+        ("left", True, 3600),
+        ("inner", True, 10**7),   # single bucket: degenerates to plain join
+    ],
+)
+def test_interval_join_matches_duckdb(spark, how, keyed, bucket_s):
+    from bfokg.operators.temporal import interval_join
+
+    pts, iv = _interval_frames()
+    right = iv if keyed else iv.drop(columns=["user_id"])
+    got = interval_join(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(right),
+        on="ts", by="user_id" if keyed else None,
+        bucket_seconds=bucket_s, how=how, guard="off",
+    ).toPandas()
+    want = _duck_interval(pts, iv, how, keyed)
+
+    def norm(df):
+        return sorted(
+            tuple(None if pd.isna(v) else v for v in row)
+            for row in df[["user_id", "ts", "turn", "start_right", "end_right",
+                           "label_right"]].itertuples(index=False)
+        )
+
+    assert norm(got) == norm(want)
+    if how == "inner":
+        assert len(got) > len(pts) * 0.5  # 1:N join actually multiplies
+
+
+def test_interval_join_expansion_guard(spark):
+    from bfokg.operators.temporal import interval_join
+
+    pts, iv = _interval_frames()
+    sp, si = spark.createDataFrame(pts), spark.createDataFrame(iv)
+    with pytest.raises(ValueError, match="expansion"):
+        interval_join(sp, si, by="user_id", bucket_seconds=1, guard="strict")
+    with pytest.warns(UserWarning, match="expansion"):
+        interval_join(sp, si, by="user_id", bucket_seconds=1, guard="warn")
+
+
 def test_sessionize_matches_duckdb(spark):
     """sessionize vs the identical two-window SQL in DuckDB, plus hand
     pins: a gap exactly equal to the threshold does NOT split."""

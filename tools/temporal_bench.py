@@ -54,7 +54,7 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from bfokg.session import get_spark
-from bfokg.operators.temporal import asof_join, sessionize
+from bfokg.operators.temporal import asof_join, asof_join_global, sessionize
 
 cpus = {cpus}
 spark = get_spark(app_name=f"temporal-{{cpus}}", master=f"local[{{cpus}}]",
@@ -82,6 +82,16 @@ def sess_once():
                   F.sum(F.crc32(F.col("session_id"))).alias("s")).first()
     return time.time() - t0, row.n
 
+def glob_once():
+    # un-keyed as-of over the full span (2^31 s -> ~596k hourly buckets:
+    # the carry window runs single-partition over bucket summaries)
+    t0 = time.time()
+    out = asof_join_global(left.drop("user_id"), right.drop("user_id"),
+                           on="ts", bucket_seconds=3600)
+    row = out.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("value_right").alias("s")).first()
+    return time.time() - t0, row.n
+
 def best(fn):
     fn()  # warm-up
     times, n = [], 0
@@ -92,11 +102,14 @@ def best(fn):
 
 asof_sec, n_left = best(asof_once)
 sess_sec, n_all = best(sess_once)
+glob_sec, n_g = best(glob_once)
 print(json.dumps({{"cpus": cpus,
                   "asof_sec": round(asof_sec, 3), "asof_rows": n_left,
                   "asof_rows_per_sec": round(n_left / asof_sec, 1),
                   "sess_sec": round(sess_sec, 3), "sess_rows": n_all,
-                  "sess_rows_per_sec": round(n_all / sess_sec, 1)}}))
+                  "sess_rows_per_sec": round(n_all / sess_sec, 1),
+                  "glob_sec": round(glob_sec, 3), "glob_rows": n_g,
+                  "glob_rows_per_sec": round(n_g / glob_sec, 1)}}))
 """
 
 
@@ -128,8 +141,9 @@ def main():
     r8, r32 = legs[8], legs[32]
     eff_asof = round((r32["asof_rows_per_sec"] / r8["asof_rows_per_sec"]) / 4, 3)
     eff_sess = round((r32["sess_rows_per_sec"] / r8["sess_rows_per_sec"]) / 4, 3)
+    eff_glob = round((r32["glob_rows_per_sec"] / r8["glob_rows_per_sec"]) / 4, 3)
     report = {"n_events": N, "runs_per_leg": RUNS, "local8": r8, "local32": r32,
-              "eff_asof": eff_asof, "eff_sess": eff_sess,
+              "eff_asof": eff_asof, "eff_sess": eff_sess, "eff_glob": eff_glob,
               "loadavg_before": load_before, "loadavg_after": load_after,
               "ts": datetime.now(timezone.utc).isoformat()}
     print(json.dumps(report, indent=2))
@@ -147,6 +161,7 @@ forced.
 |---|---|---|---|---|---|
 | asof_join | {r8['asof_sec']} | {r8['asof_rows_per_sec']:,} | {r32['asof_sec']} | {r32['asof_rows_per_sec']:,} | **{eff_asof}** |
 | sessionize | {r8['sess_sec']} | {r8['sess_rows_per_sec']:,} | {r32['sess_sec']} | {r32['sess_rows_per_sec']:,} | **{eff_sess}** |
+| asof_join_global (~596k-bucket carry) | {r8['glob_sec']} | {r8['glob_rows_per_sec']:,} | {r32['glob_sec']} | {r32['glob_rows_per_sec']:,} | **{eff_glob}** |
 
 loadavg before/after (after includes the run's own JVMs):
 {load_before} / {load_after}.

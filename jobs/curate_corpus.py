@@ -32,6 +32,9 @@ def main(argv=None):
                    help="skip stages whose snapshot is already committed")
     p.add_argument("--min-quality", type=float, default=0.0)
     p.add_argument("--dup-threshold", type=float, default=0.5)
+    p.add_argument("--redact-pii", action="store_true",
+                   help="scrub URLs / e-mails / IPv4s to sentinel tokens "
+                        "in the final corpus")
     p.add_argument("--lang-cap", action="append", default=[],
                    metavar="LANG=FRAC",
                    help="per-language keep fraction (repeatable)")
@@ -52,7 +55,7 @@ def main(argv=None):
     res = run_curation(
         spark, docs, args.out, resume=args.resume,
         min_quality=args.min_quality, dup_threshold=args.dup_threshold,
-        lang_fractions=lang_fractions,
+        lang_fractions=lang_fractions, redact_pii=args.redact_pii,
     )
     # all counts come from the committed manifest — no extra Spark jobs
     manifest = json.load(open(res["corpus_manifest"]))

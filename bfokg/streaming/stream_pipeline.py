@@ -205,3 +205,65 @@ def run_conversation_stats_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+# ------------------- native session windows (gap-based, streaming) --------
+
+
+def stream_sessions(
+    spark: SparkSession,
+    source_dir: str,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+    by: str = "conv_id",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Gap-based session aggregation over the stream via Spark's native
+    ``session_window`` — the streaming twin of the batch
+    ``operators.temporal.sessionize`` (whose per-session aggregate it
+    matches row-for-row in batch mode, pinned in tests/test_temporal.py).
+    Append output: a session row emits once, when the watermark passes its
+    end (last event + gap) — which is what bounds state at 10^12-turn
+    scale: open sessions hold one merged window per key, closed sessions
+    leave the store."""
+    reader = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    transcripts = reader.parquet(source_dir)
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col(by))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col(by),
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_turns",
+        )
+    )
+
+
+def run_sessions_to_memory(
+    spark: SparkSession,
+    source_dir: str,
+    name: str = "sessions_stream",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+    by: str = "conv_id",
+    max_files_per_trigger: int | None = None,
+):
+    """Drain the session stream (availableNow, append) into a memory sink."""
+    q = (
+        stream_sessions(spark, source_dir, gap, watermark, by,
+                        max_files_per_trigger)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -242,3 +242,72 @@ def test_stateful_sessionization_matches_batch(spark):
     assert got == expected
     # state really crossed micro-batches: some conv got >1 emit
     assert emits.count() > len(expected)
+
+
+def test_streaming_session_windows_close_on_watermark(spark, tmp_path):
+    """Native session_window stream (append mode): a session row emits
+    exactly once, when the watermark passes its end (last event + gap);
+    open sessions never emit. The emitted set must equal the batch
+    session_window aggregate minus the still-open sentinel session."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bfokg.streaming.stream_pipeline import run_sessions_to_memory
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+
+    def table(rows):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows), pa.string()),
+                "text": pa.array(["t"] * len(rows), pa.string()),
+                "tool": pa.array([""] * len(rows), pa.string()),
+                "ts": pa.array(
+                    [base + timedelta(minutes=r[2]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # gap 10m, watermark 10m:
+    # batch 0: c1@0, c1@3 (one session [0,13]), c2@5 ([5,15])
+    # batch 1: c1@30 → wm 20: closes [0,13], [5,15] (eviction may lag 1 batch)
+    # batch 2: zz@120 → wm 110: closes c1's [30,40]
+    # batch 3: zz@240 → wm 230: closes zz's [120,130]; zz@240 stays OPEN
+    pq.write_table(table([("c1", 0, 0), ("c1", 1, 3), ("c2", 0, 5)]),
+                   src / "00.parquet")
+    pq.write_table(table([("c1", 2, 30)]), src / "01.parquet")
+    pq.write_table(table([("zz", 0, 120)]), src / "02.parquet")
+    pq.write_table(table([("zz", 1, 240)]), src / "03.parquet")
+    for i, f in enumerate(sorted(os.listdir(src))):
+        os.utime(src / f, (1000000000 + i * 100,) * 2)
+
+    run_sessions_to_memory(
+        spark, str(src), name="sessions_test",
+        gap="10 minutes", watermark="10 minutes", max_files_per_trigger=1,
+    )
+    got = sorted(
+        (r.conv_id, r.sess_start, r.sess_end, r.n_turns)
+        for r in spark.sql("SELECT * FROM sessions_test").collect()
+    )
+    batch_rows = (
+        spark.read.parquet(str(src))
+        .groupBy(F.session_window("ts", "10 minutes").alias("s"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    open_start = base + timedelta(minutes=240)
+    want = sorted(
+        (r.conv_id, r.s.start, r.s.end, r.n)
+        for r in batch_rows
+        if r.s.start != open_start        # zz@240's session is still open
+    )
+    assert got == want and len(got) == 4
+    # every emitted row appeared exactly once (append mode: emit-on-close)
+    assert len(got) == len(set(got))

@@ -75,9 +75,11 @@ def _as_set(df):
     )
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
-def test_asof_join_matches_duckdb(spark, direction):
-    left, right = _frames()
+@pytest.mark.parametrize("direction,seed", [
+    ("backward", 7), ("forward", 7), ("backward", 41), ("forward", 41),
+])
+def test_asof_join_matches_duckdb(spark, direction, seed):
+    left, right = _frames(seed=seed)
     # uniqueness precondition for well-defined ties
     assert not right.duplicated(["user_id", "ts"]).any()
     got = asof_join(
@@ -92,6 +94,15 @@ def test_asof_join_matches_duckdb(spark, direction):
     # the planted exact-tie timestamp must match (inclusive semantics)
     tie = got[got.turn == 0].iloc[0]
     assert tie.ts_right == tie.ts
+
+
+def test_asof_join_empty_right(spark):
+    left, _ = _frames()
+    empty = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    got = asof_join(
+        spark.createDataFrame(left), empty, on="ts", by="user_id"
+    ).toPandas()
+    assert len(got) == len(left) and got.value_right.isna().all()
 
 
 def test_asof_join_tolerance_and_unmatched(spark):
@@ -295,6 +306,38 @@ def test_sessionize_matches_duckdb(spark):
         spark.createDataFrame(b), by="user_id", gap="INTERVAL 5 MINUTES"
     ).toPandas().sort_values("turn")
     assert list(sb.session_id) == ["1#1", "1#1", "1#2"]
+
+
+def test_sessionize_parity_with_spark_session_window(spark):
+    """Cross-check against Spark's built-in session_window: per-session
+    (user, first-event ts, row count) multisets must be identical.
+    Timestamps carry random sub-second microseconds, so exact-gap
+    boundaries (where the two definitions could differ) have measure
+    zero."""
+    from pyspark.sql import functions as F
+
+    from bfokg.operators.temporal import sessionize
+
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(1, 6, 400),
+            "ts": [BASE + dt.timedelta(seconds=float(s))
+                   for s in rng.uniform(0, 50_000, 400)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    ours = (
+        sessionize(df, by="user_id", gap="INTERVAL 5 MINUTES")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.count(F.lit(1)).alias("n"))
+    )
+    theirs = df.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = sorted((r.user_id, r.start, r.n) for r in ours.collect())
+    b = sorted((r.user_id, r.w.start, r.n) for r in theirs.collect())
+    assert a == b and len(a) > 10
 
 
 def test_asof_join_refuses_global(spark):

@@ -54,7 +54,8 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from bfokg.session import get_spark
-from bfokg.operators.temporal import asof_join, asof_join_global, sessionize
+from bfokg.operators.temporal import (asof_join, asof_join_global,
+                                      interval_join, sessionize)
 
 cpus = {cpus}
 spark = get_spark(app_name=f"temporal-{{cpus}}", master=f"local[{{cpus}}]",
@@ -92,6 +93,21 @@ def glob_once():
                   F.sum("value_right").alias("s")).first()
     return time.time() - t0, row.n
 
+intervals = right.select(
+    "user_id", F.col("ts").alias("start"),
+    (F.col("ts") + F.make_interval(secs=F.lit(1800) + F.col("value") * 7200)
+     ).alias("end"),
+    F.col("value").alias("weight"))
+
+def ivl_once():
+    # keyed point-in-interval: 51.2M points vs 12.8M intervals (0.5-2.4h)
+    t0 = time.time()
+    out = interval_join(left, intervals, on="ts", by="user_id",
+                        bucket_seconds=3600, guard="off")
+    row = out.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("weight_right").alias("s")).first()
+    return time.time() - t0, row.n
+
 def best(fn):
     fn()  # warm-up
     times, n = [], 0
@@ -103,13 +119,17 @@ def best(fn):
 asof_sec, n_left = best(asof_once)
 sess_sec, n_all = best(sess_once)
 glob_sec, n_g = best(glob_once)
+ivl_sec, n_iv = best(ivl_once)
 print(json.dumps({{"cpus": cpus,
                   "asof_sec": round(asof_sec, 3), "asof_rows": n_left,
                   "asof_rows_per_sec": round(n_left / asof_sec, 1),
                   "sess_sec": round(sess_sec, 3), "sess_rows": n_all,
                   "sess_rows_per_sec": round(n_all / sess_sec, 1),
                   "glob_sec": round(glob_sec, 3), "glob_rows": n_g,
-                  "glob_rows_per_sec": round(n_g / glob_sec, 1)}}))
+                  "glob_rows_per_sec": round(n_g / glob_sec, 1),
+                  "ivl_sec": round(ivl_sec, 3), "ivl_matches": n_iv,
+                  "ivl_points": {n} * 4 // 5,
+                  "ivl_rows_per_sec": round(({n} * 4 // 5) / ivl_sec, 1)}}))
 """
 
 
@@ -136,14 +156,17 @@ def main():
     legs = {}
     for cpus in (8, 32):
         legs[cpus] = json.loads(
-            _run(JOB.format(repo=REPO, events=EVENTS, cpus=cpus, runs=RUNS)))
+            _run(JOB.format(repo=REPO, events=EVENTS, cpus=cpus, runs=RUNS,
+                            n=N)))
     load_after = _loadavg()
     r8, r32 = legs[8], legs[32]
     eff_asof = round((r32["asof_rows_per_sec"] / r8["asof_rows_per_sec"]) / 4, 3)
     eff_sess = round((r32["sess_rows_per_sec"] / r8["sess_rows_per_sec"]) / 4, 3)
     eff_glob = round((r32["glob_rows_per_sec"] / r8["glob_rows_per_sec"]) / 4, 3)
+    eff_ivl = round((r32["ivl_rows_per_sec"] / r8["ivl_rows_per_sec"]) / 4, 3)
     report = {"n_events": N, "runs_per_leg": RUNS, "local8": r8, "local32": r32,
               "eff_asof": eff_asof, "eff_sess": eff_sess, "eff_glob": eff_glob,
+              "eff_ivl": eff_ivl,
               "loadavg_before": load_before, "loadavg_after": load_after,
               "ts": datetime.now(timezone.utc).isoformat()}
     print(json.dumps(report, indent=2))
@@ -162,6 +185,7 @@ forced.
 | asof_join | {r8['asof_sec']} | {r8['asof_rows_per_sec']:,} | {r32['asof_sec']} | {r32['asof_rows_per_sec']:,} | **{eff_asof}** |
 | sessionize | {r8['sess_sec']} | {r8['sess_rows_per_sec']:,} | {r32['sess_sec']} | {r32['sess_rows_per_sec']:,} | **{eff_sess}** |
 | asof_join_global (~596k-bucket carry) | {r8['glob_sec']} | {r8['glob_rows_per_sec']:,} | {r32['glob_sec']} | {r32['glob_rows_per_sec']:,} | **{eff_glob}** |
+| interval_join (keyed, points/s, {r8['ivl_matches']:,} matches) | {r8['ivl_sec']} | {r8['ivl_rows_per_sec']:,} | {r32['ivl_sec']} | {r32['ivl_rows_per_sec']:,} | **{eff_ivl}** |
 
 loadavg before/after (after includes the run's own JVMs):
 {load_before} / {load_after}.

@@ -30,6 +30,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _time_bucket(col_name: str, width_us: int):
+    """floor(us / width) bucket id. The cast makes TIMESTAMP_NTZ columns
+    (what parquet timestamps scanned without a session zone come back as —
+    ``unix_micros`` rejects them outright in Spark 4) bucket via the
+    session zone; a no-op for plain TIMESTAMP. Bucketing only needs a
+    consistent monotonic integer on both sides, which any single zone
+    gives."""
+    return F.floor(
+        F.unix_micros(F.col(col_name).cast("timestamp")) / F.lit(width_us)
+    )
+
+
 def asof_join_global(
     left: DataFrame,
     right: DataFrame,
@@ -77,7 +89,7 @@ def asof_join_global(
     payload = F.struct(
         F.col(on).alias(on), *[F.col(c).alias(c) for c in payload_cols]
     )
-    bkt = F.floor(F.unix_micros(F.col(on)) / F.lit(int(bucket_seconds * 1_000_000)))
+    bkt = _time_bucket(on, int(bucket_seconds * 1_000_000))
     back = direction == "backward"
 
     # 1. one summary row per non-empty right bucket
@@ -198,8 +210,8 @@ def interval_join(
             f"{[f'{c}{suffix}' for c in out_clash]} — pass a different suffix"
         )
     w_us = int(bucket_seconds * 1_000_000)
-    b_start = F.floor(F.unix_micros(F.col(start)) / F.lit(w_us))
-    b_end = F.floor(F.unix_micros(F.col(end)) / F.lit(w_us))
+    b_start = _time_bucket(start, w_us)
+    b_end = _time_bucket(end, w_us)
     valid = intervals.where(F.col(start) <= F.col(end))
 
     if guard != "off":
@@ -226,7 +238,7 @@ def interval_join(
         F.explode(F.sequence(b_start, b_end)).alias("_iv_bkt"),
     )
     pt = points.withColumn(
-        "_iv_bkt", F.floor(F.unix_micros(F.col(on)) / F.lit(w_us))
+        "_iv_bkt", _time_bucket(on, w_us)
     )
     cond = [pt["_iv_bkt"] == iv["_iv_bkt"]]
     cond += [pt[k] == iv[k] for k in by]

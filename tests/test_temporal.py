@@ -340,6 +340,37 @@ def test_sessionize_parity_with_spark_session_window(spark):
     assert a == b and len(a) > 10
 
 
+def test_bucketed_ops_accept_timestamp_ntz(spark):
+    """Parquet timestamps come back TIMESTAMP_NTZ, which Spark 4's
+    unix_micros rejects outright — the bucketed operators must accept
+    both flavors and produce identical matches (caught by the verify
+    drive over the events table, not by pandas-built test frames, which
+    are always TIMESTAMP)."""
+    from pyspark.sql import functions as F
+
+    from bfokg.operators.temporal import asof_join_global, interval_join
+
+    left, right = _frames(seed=3)
+    right = right.drop_duplicates(["ts"])
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right[["ts", "value"]])
+    ntz = lambda df: df.select(  # noqa: E731
+        *[F.col(c).cast("timestamp_ntz").alias(c) if c == "ts" else F.col(c)
+          for c in df.columns]
+    )
+    got_ts = asof_join_global(sl, sr, on="ts", bucket_seconds=600).toPandas()
+    got_ntz = asof_join_global(ntz(sl), ntz(sr), on="ts", bucket_seconds=600).toPandas()
+    assert _as_set(got_ts) == _as_set(got_ntz)
+
+    iv = sr.select(F.col("ts").alias("start"),
+                   (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+                   "value")
+    iv_ntz = iv.select(F.col("start").cast("timestamp_ntz").alias("start"),
+                       F.col("end").cast("timestamp_ntz").alias("end"), "value")
+    a = interval_join(sl, iv, on="ts", guard="off").toPandas()
+    b = interval_join(ntz(sl), iv_ntz, on="ts", guard="off").toPandas()
+    assert len(a) == len(b) and sorted(a.turn) == sorted(b.turn)
+
+
 def test_asof_join_refuses_global(spark):
     left, right = _frames()
     with pytest.raises(ValueError, match="by-keys"):

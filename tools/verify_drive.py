@@ -122,10 +122,19 @@ aj = asof_join(clicks, buys, on="ts", by="user_id",
                tolerance="INTERVAL 7 DAYS")
 n_aj = aj.count(); n_cl = clicks.count()
 assert n_aj == n_cl and n_aj > 0, (n_aj, n_cl)
-from bfokg.operators.temporal import sessionize
+from bfokg.operators.temporal import asof_join_global, interval_join, sessionize
 sess = sessionize(t, ts_col="ts", by="conv_id", gap="INTERVAL 10 MINUTES",
                   tiebreak=["turn_idx"])
 assert sess.count() == t.count()
-print(f"round5 OK: top_ngram_stats bounded, asof_join keeps all {n_cl} left rows, sessionize total-preserving")
+g = asof_join_global(clicks.drop("user_id"),
+                     buys.drop("user_id").dropDuplicates(["ts"]),
+                     on="ts", bucket_seconds=3600)
+assert g.count() == n_cl
+iv = buys.select("user_id", F.col("ts").alias("start"),
+                 (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+                 "value")
+ivj = interval_join(clicks, iv, on="ts", by="user_id", how="left", guard="strict")
+assert ivj.count() >= n_cl
+print(f"round5 OK: top_ngram_stats bounded, asof/global/interval joins keep all {n_cl} left rows, sessionize total-preserving")
 print("VERIFY_DRIVE_ALL_OK")
 spark.stop()

@@ -16,7 +16,9 @@ as-of is a single ordered sequence — one partition, no parallelism —
 so this operator refuses it rather than silently serializing; time-
 bucket the input and carry per-bucket maxima if you genuinely need a
 global as-of. Skew: per-key window state is one row (the running last
-right payload), so even a hub key costs only its own sort.
+right payload), so even a hub key costs only its own sort — and when
+that single sort is itself the straggler, ``asof_join_global(by=…)``
+time-buckets WITHIN keys with identical output (test-pinned).
 
 Verification: pytest compares against DuckDB's native ASOF JOIN
 bit-for-bit (both directions, tolerance, composite keys, ties) — the
@@ -50,36 +52,45 @@ def asof_join_global(
     bucket_seconds: int = 3600,
     tolerance: Column | str | None = None,
     suffix: str = "_right",
+    by: list[str] | str | None = None,
 ) -> DataFrame:
-    """Global (un-keyed) as-of join — the scale path ``asof_join`` refuses
-    to fake. A global as-of is inherently one ordered sequence; the
-    distributed decomposition is time-bucketing:
+    """Bucketed as-of join — the scale path for the two cases the plain
+    keyed ``asof_join`` can't spread: the GLOBAL (un-keyed) as-of, which
+    is inherently one ordered sequence, and a HUB key whose rows would
+    all sort in one straggler task. The decomposition is time-bucketing:
 
-      1. reduce ``right`` to ONE row per time bucket (``max_by``/
+      1. reduce ``right`` to ONE row per (``by``…, bucket) (``max_by``/
          ``min_by`` payload — map-side partial agg, shuffle O(buckets));
       2. compute each bucket's CARRY — the latest right payload in any
          strictly-earlier bucket (strictly-later for forward) — with a
-         single-partition window over the BUCKET SUMMARIES, i.e. the
+         window over the BUCKET SUMMARIES: per ``by`` key when keyed
+         (fully parallel), single-partition when global — either way the
          serial part shrinks from O(rows) to O(buckets);
-      3. broadcast the carry table, and resolve within-bucket matches
-         with the same union+window trick as ``asof_join`` partitioned
-         by bucket; ``coalesce(in_bucket, carry)``.
+      3. resolve within-bucket matches with the same union+window trick
+         as ``asof_join`` partitioned by (``by``…, bucket);
+         ``coalesce(in_bucket, carry)``. The carry table broadcasts in
+         the global case; keyed, it joins on (``by``…, bucket) and AQE
+         picks the strategy.
 
-    Exact (DuckDB-ASOF-pinned for every bucket width, including the
-    degenerate single-bucket and mostly-empty-bucket cases — tests).
-    ``bucket_seconds`` tunes parallelism: pick it so a bucket's rows fit
-    a task (hot-minute skew → smaller buckets) while the bucket COUNT
-    (time span / width) stays small enough to broadcast — at 10^12 rows
-    over a year, hourly buckets are 8.8k summary rows. ``right`` must be
-    unique per ``on``. ``on`` must be a timestamp column."""
+    Output semantics are IDENTICAL to ``asof_join`` (pinned in tests:
+    equal to the keyed operator on the same data at several widths, and
+    DuckDB-ASOF-pinned globally, including the degenerate single-bucket
+    and mostly-empty-bucket cases). ``bucket_seconds`` tunes the
+    straggler bound: one task sorts one (key, bucket), so pick it so a
+    hot key's densest bucket fits a task, while the bucket COUNT
+    (time span / width) stays broadcastable in the global case — at
+    10^12 rows over a year, hourly buckets are 8.8k summary rows.
+    ``right`` must be unique per (``by``…, ``on``). ``on`` must be a
+    timestamp column."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction!r}")
+    by = [by] if isinstance(by, str) else list(by or [])
     clash = [c for c in left.columns + right.columns if c.startswith("_asof_")]
     if clash:
         raise ValueError(f"_asof_* column names are reserved: {clash}")
     if isinstance(tolerance, str):
         tolerance = F.expr(tolerance)
-    payload_cols = [c for c in right.columns if c != on]
+    payload_cols = [c for c in right.columns if c != on and c not in by]
     out_clash = [c for c in [on] + payload_cols if f"{c}{suffix}" in left.columns]
     if out_clash:
         raise ValueError(
@@ -92,41 +103,42 @@ def asof_join_global(
     bkt = _time_bucket(on, int(bucket_seconds * 1_000_000))
     back = direction == "backward"
 
-    # 1. one summary row per non-empty right bucket
+    # 1. one summary row per non-empty right (by…, bucket)
     agg = F.max_by(payload, F.col(on)) if back else F.min_by(payload, F.col(on))
     rb = right.withColumn("_asof_bkt", bkt)
-    bucket_last = rb.groupBy("_asof_bkt").agg(agg.alias("_asof_payload"))
+    bucket_last = rb.groupBy(*by, "_asof_bkt").agg(agg.alias("_asof_payload"))
 
     # 2. carry per LEFT bucket: last/first summary from strictly-adjacent-
-    #    side buckets. Serial, but over O(buckets) rows, not O(rows).
+    #    side buckets, over O(buckets) summary rows — per key when keyed
+    #    (parallel), single-partition when global.
     lb = left.withColumn("_asof_bkt", bkt)
-    need = lb.select("_asof_bkt").distinct().withColumn("_asof_side", F.lit(0))
+    need = (lb.select(*by, "_asof_bkt").distinct()
+            .withColumn("_asof_side", F.lit(0)))
     summaries = bucket_last.withColumn("_asof_side", F.lit(1))
     seq = need.unionByName(summaries, allowMissingColumns=True)
     # left marker 0: a left bucket's frame edge excludes its OWN bucket's
     # right summary (within-bucket rows are resolved exactly in step 3)
     if back:
-        w = Window.orderBy("_asof_bkt", "_asof_side").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        carry_expr = F.last("_asof_payload", ignorenulls=True).over(w)
+        order = [F.asc("_asof_bkt"), F.asc("_asof_side")]
     else:
         # desc buckets, ASC side: (b, left=0) precedes (b, right=1), so a
         # left bucket's frame still excludes its own bucket's summary
-        w = Window.orderBy(F.desc("_asof_bkt"), F.asc("_asof_side")).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        carry_expr = F.last("_asof_payload", ignorenulls=True).over(w)
+        order = [F.desc("_asof_bkt"), F.asc("_asof_side")]
+    w = (Window.partitionBy(*by) if by else Window).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carry_expr = F.last("_asof_payload", ignorenulls=True).over(w)
     carry = (
         seq.withColumn("_asof_carry", carry_expr)
         .where(F.col("_asof_side") == 0)
-        .select("_asof_bkt", "_asof_carry")
+        .select(*by, "_asof_bkt", "_asof_carry")
     )
 
-    # 3. within-bucket resolution, partitioned by bucket
+    # 3. within-bucket resolution, partitioned by (by…, bucket)
     r_mark = 0 if back else 1
     r = rb.select(
-        "_asof_bkt", F.col(on).alias("_asof_ts"), payload.alias("_asof_payload"),
+        *by, "_asof_bkt", F.col(on).alias("_asof_ts"),
+        payload.alias("_asof_payload"),
         F.lit(r_mark).alias("_asof_side"),
     )
     l = lb.select(
@@ -135,17 +147,18 @@ def asof_join_global(
         F.lit(1 - r_mark).alias("_asof_side"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
-    wb = Window.partitionBy("_asof_bkt").orderBy("_asof_ts", "_asof_side")
+    wb = Window.partitionBy(*by, "_asof_bkt").orderBy("_asof_ts", "_asof_side")
     if back:
         wb = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         in_bucket = F.last("_asof_payload", ignorenulls=True).over(wb)
     else:
         wb = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         in_bucket = F.first("_asof_payload", ignorenulls=True).over(wb)
+    carry_j = F.broadcast(carry) if not by else carry
     out = (
         unioned.withColumn("_asof_in", in_bucket)
         .where(F.col("_asof_side") == (1 - r_mark))
-        .join(F.broadcast(carry), "_asof_bkt", "left")
+        .join(carry_j, [*by, "_asof_bkt"], "left")
         .withColumn("_asof_match", F.coalesce("_asof_in", "_asof_carry"))
     )
     if tolerance is not None:

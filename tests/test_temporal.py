@@ -163,6 +163,42 @@ def test_asof_join_global_matches_duckdb(spark, direction, bucket_s):
     assert _as_set(got) == _as_set(want)
 
 
+@pytest.mark.parametrize(
+    "direction,bucket_s",
+    [("backward", 60), ("backward", 1), ("backward", 10**9),
+     ("forward", 60), ("forward", 1)],
+)
+def test_asof_join_bucketed_keyed_equals_plain(spark, direction, bucket_s):
+    """asof_join_global(by=…) — the hub-key straggler-proof variant —
+    must produce byte-identical output to the plain keyed asof_join at
+    every bucket width (the carry window is per-key over bucket
+    summaries, so nothing about bucketing may change semantics)."""
+    from bfokg.operators.temporal import asof_join_global
+
+    left, right = _frames(seed=19)
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    plain = asof_join(sl, sr, on="ts", by="user_id", direction=direction)
+    bucketed = asof_join_global(
+        sl, sr, on="ts", by="user_id", direction=direction,
+        bucket_seconds=bucket_s,
+    )
+    assert _as_set(plain.toPandas()) == _as_set(bucketed.toPandas())
+
+
+def test_asof_join_bucketed_keyed_tolerance(spark):
+    from bfokg.operators.temporal import asof_join_global
+
+    left, right = _frames(seed=29)
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    plain = asof_join(sl, sr, on="ts", by="user_id",
+                      tolerance="INTERVAL 90 SECONDS")
+    bucketed = asof_join_global(sl, sr, on="ts", by="user_id",
+                                bucket_seconds=120,
+                                tolerance="INTERVAL 90 SECONDS")
+    assert _as_set(plain.toPandas()) == _as_set(bucketed.toPandas())
+
+
 def test_asof_join_global_tolerance(spark):
     from bfokg.operators.temporal import asof_join_global
 

@@ -8,7 +8,8 @@ corpus); this is the job a 100 TB curation run needs around the corpus
 operators the package already ships:
 
   1. ``stats``     — textstats projection (tokens, lang-ID, quality,
-                     fingerprint), partitioned by ``lang_pred``
+                     duplicate-line fraction, fingerprint), partitioned
+                     by ``lang_pred``
   2. ``pairs``     — MinHash+LSH near-dup pairs over quality-passing docs
   3. ``keep_list`` — pairs → connected components → per-doc
                      (keeper_id, is_keeper)
@@ -35,6 +36,7 @@ import time
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..functions.textstats import (
+    dup_line_fraction_col,
     fingerprint_col,
     lang_id_col,
     quality_score_col,
@@ -59,6 +61,7 @@ def run_curation(
     resume: bool = False,
     *,
     min_quality: float = 0.0,
+    max_dup_line_frac: float | None = None,
     dup_threshold: float = 0.5,
     split_weights: dict[str, float] | None = None,
     lang_fractions: dict[str, float] | None = None,
@@ -72,6 +75,12 @@ def run_curation(
     'lineage': manifest|None, 'skipped': [stages]}``."""
     log = LineageLog(spark)
     skipped: list[str] = []
+
+    # the quality gate shared by stages 2-4: composite score plus the
+    # Gopher-style duplicate-line repetition cap when requested
+    gate = F.col("quality") >= min_quality
+    if max_dup_line_frac is not None:
+        gate = gate & (F.col("dup_line_frac") <= max_dup_line_frac)
 
     stats_dir = os.path.join(out_dir, "doc_stats")
     pairs_dir = os.path.join(out_dir, "dup_pairs")
@@ -91,6 +100,7 @@ def run_curation(
             token_count_col("text").alias("n_tokens"),
             lang_id_col("text").alias("lang_pred"),
             quality_score_col("text").alias("quality"),
+            dup_line_fraction_col("text").alias("dup_line_frac"),
             fingerprint_col("text").alias("fingerprint"),
         )
         sm = write_table(stats, stats_dir, partition_by=["lang_pred"])
@@ -104,7 +114,7 @@ def run_curation(
     else:
         t0 = time.time()
         eligible = docs.join(
-            stats.where(F.col("quality") >= min_quality).select("doc_id"),
+            stats.where(gate).select("doc_id"),
             "doc_id",
         )
         pairs = minhash_lsh_pairs(eligible, threshold=dup_threshold)
@@ -120,7 +130,7 @@ def run_curation(
     else:
         t0 = time.time()
         eligible = docs.join(
-            stats.where(F.col("quality") >= min_quality).select("doc_id"),
+            stats.where(gate).select("doc_id"),
             "doc_id",
         )
         keep = dedup_keep_list(eligible, pairs_t)
@@ -138,7 +148,7 @@ def run_curation(
         kept = (
             docs.join(stats, "doc_id")
             .join(keep_t.where(F.col("is_keeper")).select("doc_id"), "doc_id")
-            .where(F.col("quality") >= min_quality)
+            .where(gate)
         )
         if redact_pii:
             from ..functions.textstats import redact_pii_col
@@ -154,6 +164,7 @@ def run_curation(
                          parents=[stats_dir, keep_dir])
         log.record("corpus", read_manifest(keep_dir)["rows"], cm["rows"], t0,
                    extra={"min_quality": min_quality,
+                          "max_dup_line_frac": max_dup_line_frac,
                           "default_fraction": default_fraction,
                           "redact_pii": redact_pii})
         log.record_partitions("corpus", cm, t0)

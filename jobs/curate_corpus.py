@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="skip stages whose snapshot is already committed")
     p.add_argument("--min-quality", type=float, default=0.0)
+    p.add_argument("--max-dup-line-frac", type=float, default=None,
+                   help="drop docs whose duplicate-line fraction exceeds "
+                        "this (Gopher-style repetition gate)")
     p.add_argument("--dup-threshold", type=float, default=0.5)
     p.add_argument("--redact-pii", action="store_true",
                    help="scrub URLs / e-mails / IPv4s to sentinel tokens "
@@ -54,7 +57,9 @@ def main(argv=None):
     docs = spark.read.parquet(args.documents).select("doc_id", "text")
     res = run_curation(
         spark, docs, args.out, resume=args.resume,
-        min_quality=args.min_quality, dup_threshold=args.dup_threshold,
+        min_quality=args.min_quality,
+        max_dup_line_frac=args.max_dup_line_frac,
+        dup_threshold=args.dup_threshold,
         lang_fractions=lang_fractions, redact_pii=args.redact_pii,
     )
     # all counts come from the committed manifest — no extra Spark jobs

@@ -612,6 +612,33 @@ def test_curation_redact_pii_flag(spark, tmp_path):
     assert all("<EMAIL>" in t and "<URL>" in t for t in texts)
 
 
+def test_curation_dup_line_gate(spark, tmp_path):
+    """max_dup_line_frac drops templated docs (high duplicate-line
+    fraction) from the final corpus while clean docs survive."""
+    from bfokg.plans.curation import run_curation
+
+    import random
+
+    rng = random.Random(9)
+    vocab = [f"word{k}" for k in range(400)]
+    clean = [
+        (i, " ".join(rng.sample(vocab, 25)) + f"\nline two {i}")
+        for i in range(30)
+    ]
+    templated = [(100 + i, "same line\n" * 20 + f"tail {i}") for i in range(5)]
+    docs = spark.createDataFrame(clean + templated, "doc_id long, text string")
+    res = run_curation(spark, docs, str(tmp_path / "curg"),
+                       max_dup_line_frac=0.5)
+    ids = {r.doc_id for r in res["corpus"].select("doc_id").collect()}
+    assert not any(i >= 100 for i in ids)          # templated docs gated out
+    assert len(ids) > 20                           # clean docs survive
+    # stats table carries the signal for audit
+    from bfokg.sources.warehouse import read_table
+    st = read_table(spark, str(tmp_path / "curg" / "doc_stats"))
+    high = {r.doc_id for r in st.where("dup_line_frac > 0.5").collect()}
+    assert high == {100 + i for i in range(5)}
+
+
 def _bmp_bytes(arr):
     """Minimal uncompressed 24-bit BMP encoder (test-side golden source).
     arr: uint8 [h, w, 3] in RGB."""

@@ -407,6 +407,28 @@ def test_bucketed_ops_accept_timestamp_ntz(spark):
     assert len(a) == len(b) and sorted(a.turn) == sorted(b.turn)
 
 
+def test_temporal_ops_repartition_invariant(spark):
+    """Cluster layout must never change results: the same inputs through
+    arbitrary repartitioning produce identical rows (sessionize ids,
+    asof matches)."""
+    from bfokg.operators.temporal import sessionize
+
+    left, right = _frames(seed=37)
+    left = left.drop_duplicates(["user_id", "ts"])
+    df, dr = spark.createDataFrame(left), spark.createDataFrame(right)
+
+    s1 = sessionize(df, by="user_id", gap="INTERVAL 5 MINUTES").toPandas()
+    s2 = sessionize(df.repartition(7), by="user_id",
+                    gap="INTERVAL 5 MINUTES").toPandas()
+    key = lambda d: sorted(map(tuple, d[["user_id", "ts", "session_id"]].values))  # noqa: E731
+    assert key(s1) == key(s2)
+
+    a1 = asof_join(df, dr, on="ts", by="user_id").toPandas()
+    a2 = asof_join(df.repartition(5), dr.repartition(3), on="ts",
+                   by="user_id").toPandas()
+    assert _as_set(a1) == _as_set(a2)
+
+
 def test_asof_join_refuses_global(spark):
     left, right = _frames()
     with pytest.raises(ValueError, match="by-keys"):

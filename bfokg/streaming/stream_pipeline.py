@@ -267,3 +267,78 @@ def run_sessions_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+# ------------- stream-stream time-bounded join (interval enrich) ----------
+
+
+def stream_turn_replies(
+    spark: SparkSession,
+    source_dir: str,
+    horizon: str = "5 minutes",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Native stream-stream JOIN with an event-time range — the streaming
+    twin of ``operators.temporal.interval_join``: pair every user turn
+    with the assistant turns of the SAME conversation arriving within
+    ``horizon`` after it. Both sides carry watermarks and the join
+    condition bounds event-time distance, which is exactly what lets
+    Spark evict join state (a side's rows leave the state store once the
+    other side's watermark passes their ts + horizon) — unbounded-state
+    stream joins are refused by Spark, and this shape is the reason.
+
+    Inner-join semantics: matches emit as soon as both rows have
+    arrived; equal to the batch join over the same files when nothing
+    is late (pinned in tests/test_entry_and_streaming.py)."""
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    def _reader():
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.parquet(source_dir)
+
+    users = (
+        _reader().where(F.col("role") == "user")
+        .select("conv_id", F.col("turn_idx").alias("u_turn"),
+                F.col("ts").alias("u_ts"))
+        .withWatermark("u_ts", watermark)
+    )
+    replies = (
+        _reader().where(F.col("role") == "assistant")
+        .select(F.col("conv_id").alias("r_conv"),
+                F.col("turn_idx").alias("r_turn"),
+                F.col("ts").alias("r_ts"))
+        .withWatermark("r_ts", watermark)
+    )
+    cond = F.expr(
+        f"conv_id = r_conv AND r_ts >= u_ts AND r_ts <= u_ts + INTERVAL {horizon}"
+    )
+    return (
+        users.join(replies, cond, "inner")
+        .select("conv_id", "u_turn", "u_ts", "r_turn", "r_ts")
+    )
+
+
+def run_turn_replies_to_memory(
+    spark: SparkSession,
+    source_dir: str,
+    name: str = "turn_replies_stream",
+    horizon: str = "5 minutes",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+):
+    """Drain the stream-stream join (availableNow, append) into memory."""
+    q = (
+        stream_turn_replies(spark, source_dir, horizon, watermark,
+                            max_files_per_trigger)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

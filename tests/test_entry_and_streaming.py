@@ -311,3 +311,75 @@ def test_streaming_session_windows_close_on_watermark(spark, tmp_path):
     assert got == want and len(got) == 4
     # every emitted row appeared exactly once (append mode: emit-on-close)
     assert len(got) == len(set(got))
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Native stream-stream join with an event-time range (the streaming
+    interval_join): user turns paired with same-conversation assistant
+    replies within the horizon. Drained over multiple micro-batches with
+    conversations SPLIT across batches (join state must hold one side
+    until the other arrives), the emitted set equals the batch join."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bfokg.streaming.stream_pipeline import run_turn_replies_to_memory
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+
+    def table(rows):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array(["t"] * len(rows), pa.string()),
+                "tool": pa.array([""] * len(rows), pa.string()),
+                "ts": pa.array(
+                    [base + timedelta(minutes=r[3], seconds=r[4]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    src = tmp_path / "ssj_src"
+    src.mkdir()
+    # batch 0: c1 user@0:00, c1 assistant@0:30 (match), c2 user@1:00
+    # batch 1: c2 assistant@2:00 (matches the batch-0 user — state carry),
+    #          c1 assistant@9:00 (OUTSIDE 5-min horizon of user@0 — no match)
+    # batch 2: c3 user@20:00 + c3 assistant@24:59 (match at horizon edge)
+    pq.write_table(
+        table([("c1", 0, "user", 0, 0), ("c1", 1, "assistant", 0, 30),
+               ("c2", 0, "user", 1, 0)]),
+        src / "00.parquet")
+    pq.write_table(
+        table([("c2", 1, "assistant", 2, 0), ("c1", 2, "assistant", 9, 0)]),
+        src / "01.parquet")
+    pq.write_table(
+        table([("c3", 0, "user", 20, 0), ("c3", 1, "assistant", 24, 59)]),
+        src / "02.parquet")
+    for i, f in enumerate(sorted(os.listdir(src))):
+        os.utime(src / f, (1000000000 + i * 100,) * 2)
+
+    run_turn_replies_to_memory(
+        spark, str(src), name="ssj_test",
+        horizon="5 minutes", watermark="10 minutes", max_files_per_trigger=1,
+    )
+    got = sorted(
+        (r.conv_id, r.u_turn, r.r_turn)
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    )
+    assert got == [("c1", 0, 1), ("c2", 0, 1), ("c3", 0, 1)]
+    # batch cross-check: identical join over the full files
+    t = spark.read.parquet(str(src))
+    u = t.where("role='user'").select("conv_id", F.col("turn_idx").alias("u_turn"),
+                                      F.col("ts").alias("u_ts"))
+    a = t.where("role='assistant'").select(
+        F.col("conv_id").alias("r_conv"), F.col("turn_idx").alias("r_turn"),
+        F.col("ts").alias("r_ts"))
+    b = u.join(a, F.expr(
+        "conv_id = r_conv AND r_ts >= u_ts AND r_ts <= u_ts + INTERVAL 5 MINUTES"
+    ))
+    want = sorted((r.conv_id, r.u_turn, r.r_turn) for r in b.collect())
+    assert got == want

@@ -914,20 +914,26 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     value with vec_id tiebreak so both engines rank identically."""
     from pyspark.sql import Window
 
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
     embs = _embs(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # norms PROJECTED BEFORE the cross join (guide §2.3 "project before
+    # the exchange"): previously each of the Q×N joined rows recomputed
+    # both array-aggregate norms; now each side computes its norm once.
+    # Identical float math (same aggregate, same multiply order).
+    corpus = embs.select("vec_id", "embedding", norm(F.col("embedding")).alias("cnorm"))
     queries = embs.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"),
+        norm(F.col("embedding")).alias("qnorm"),
     )
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
     dot = F.aggregate(
         F.zip_with("qvec", "embedding", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
     scored = (
-        queries.crossJoin(embs)
+        queries.crossJoin(corpus)
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(dot / (norm(F.col("qvec")) * norm(F.col("embedding"))), 4))
+        .withColumn("cosine", F.round(dot / (F.col("qnorm") * F.col("cnorm")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -87,18 +87,24 @@ def fixture_rows():
 
 
 def fixtures_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(fixture_rows(), FIXTURE_SCHEMA)
+    from .util import local_df
+
+    return local_df(spark, fixture_rows(), FIXTURE_SCHEMA)
 
 
 def entities_df(spark: SparkSession, include_micro: bool = False) -> DataFrame:
+    from .util import local_df
+
     rows = [(eid, label, desc, aliases, {}) for eid, label, desc, aliases, _ in _FIXTURES]
     if include_micro:
         rows += _MICRO
-    return spark.createDataFrame(rows, ENTITY_SCHEMA)
+    return local_df(spark, rows, ENTITY_SCHEMA)
 
 
 def micro_entities_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(_MICRO, ENTITY_SCHEMA)
+    from .util import local_df
+
+    return local_df(spark, _MICRO, ENTITY_SCHEMA)
 
 
 def sample_entity(df: DataFrame, seed: int = 42) -> DataFrame:

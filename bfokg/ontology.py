@@ -211,8 +211,11 @@ def _rows():
 
 
 def bfo_classes_df(spark: SparkSession) -> DataFrame:
-    """The 35-row class dimension. Always broadcast at join sites."""
-    return spark.createDataFrame(_rows(), BFO_CLASSES_SCHEMA)
+    """The 35-row class dimension. Always broadcast at join sites.
+    LocalRelation (util.local_df) so broadcast builds need no Spark job."""
+    from .util import local_df
+
+    return local_df(spark, _rows(), BFO_CLASSES_SCHEMA)
 
 
 def get_text_for_embedding_col():
@@ -228,6 +231,21 @@ def get_text_for_embedding_col():
             F.concat(F.lit(" Examples: "), F.array_join("examples", "; ")),
         ).otherwise(F.lit("")),
     )
+
+
+def _broadcast_threshold(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (\"10485760\" or
+    \"10MB\" forms both appear); -1 (disabled) parses to -1 so callers
+    treating it as an upper bound correctly never match."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    s = raw.strip().lower().removesuffix("b")
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    try:
+        return int(s)
+    except ValueError:
+        return 10 << 20
 
 
 def build_closure(
@@ -321,13 +339,27 @@ def build_closure(
     # Pre-shuffle the STATIC side of every round's extension join by its
     # join key and persist it sorted: sort-merge join then re-uses the
     # cached partitioning+ordering, so each round exchanges only the
-    # (shrinking) frontier, never the full edge table.
-    n_part = direct.sparkSession.sparkContext.defaultParallelism
-    direct = (
-        direct.repartition(n_part, "descendant_uri")
-        .sortWithinPartitions("descendant_uri")
-        .persist()
-    )
+    # (shrinking) frontier, never the full edge table. SIZE-ADAPTIVE
+    # (guide §2.2/§3.1): when the optimizer's size estimate for the edge
+    # table is under the session's broadcast threshold the rounds plan as
+    # broadcast joins anyway, making the pre-shuffle two exchanges plus a
+    # many-task persist of pure fixed cost per closure — skip it and
+    # persist the table as-is. LocalRelation/parquet-backed edges carry
+    # real estimates; unknown-stat sources (raw RDD scans) estimate huge
+    # and keep the pre-shuffle, the safe default at scale.
+    from .util import plan_size_bytes
+
+    size_est = plan_size_bytes(edges)
+    small_edges = size_est is not None and 0 <= size_est <= _broadcast_threshold(spark)
+    if small_edges:
+        direct = direct.persist()
+    else:
+        n_part = direct.sparkSession.sparkContext.defaultParallelism
+        direct = (
+            direct.repartition(n_part, "descendant_uri")
+            .sortWithinPartitions("descendant_uri")
+            .persist()
+        )
     cached.append(direct)
     closure = direct
     frontier = direct
@@ -403,7 +435,9 @@ def closure_rows() -> list[tuple[str, str, int]]:
 
 def bfo_closure_df(spark: SparkSession) -> DataFrame:
     """Transitive ancestor closure of the BFO tree (≤7 levels)."""
-    return spark.createDataFrame(closure_rows(), CLOSURE_SCHEMA)
+    from .util import local_df
+
+    return local_df(spark, closure_rows(), CLOSURE_SCHEMA)
 
 
 def bfo_children_df(spark: SparkSession) -> DataFrame:

@@ -126,8 +126,11 @@ def dedup_components(
         )
     if materialize == "local":
 
-        def _materialize(df: DataFrame, name: str):
-            return df.localCheckpoint(eager=True), None
+        def _materialize(df: DataFrame, name: str, probe=None):
+            # localCheckpoint is an RDD-level action — no QueryExecution
+            # listener fires, so the convergence sum cannot ride it; the
+            # caller computes it with a separate (cheap, cache-backed) agg
+            return df.localCheckpoint(eager=True), None, None
 
         def _release(handle) -> None:
             pass  # executor-local blocks; ContextCleaner GC frees them
@@ -142,10 +145,23 @@ def dedup_components(
         spark, "bfokg_components", explicit=checkpoint_dir
     )
 
-    def _materialize(df: DataFrame, name: str) -> tuple[DataFrame, str]:
+    def _materialize(df: DataFrame, name: str, probe=None):
+        # the convergence probe rides the round's own write action via
+        # df.observe (an AggregatingAccumulator): previously each round
+        # paid a SEPARATE scan-and-sum job over the parquet it had just
+        # written — at any scale that job and its scan are pure overhead
+        # (guide §1.2: don't compute things twice). Same decimal(38,0)
+        # exact sum, same convergence semantics.
+        from pyspark.sql import Observation
+
+        obs = None
+        if probe is not None:
+            obs = Observation()
+            df = df.observe(obs, F.sum(probe.cast("decimal(38,0)")).alias("s"))
         path = os.path.join(checkpoint_dir, name)
         df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path), path
+        observed = obs.get["s"] if obs is not None else None
+        return spark.read.parquet(path), path, observed
 
     def _release(path) -> None:
         PathCleanup(path, spark).unpersist()
@@ -171,29 +187,33 @@ def _dedup_components_loop(pairs, id_a, id_b, max_iter, _materialize,
     modes of ``dedup_components`` — the dataflow is identical; only how
     each round's frame is pinned (reliable parquet vs localCheckpoint)
     differs."""
+    integral_ids = pairs.schema[id_a].dataType.typeName() in (
+        "byte", "short", "integer", "long"
+    )
+    probe = F.col("component_id") if integral_ids else None
+
     edges_ab = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges, _ = _materialize(
+    edges, _, _ = _materialize(
         edges_ab.unionByName(
             edges_ab.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct(),
         "edges",
     )
-    labels, prev_path = _materialize(
+    labels, prev_path, prev_sum = _materialize(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component_id", F.col("doc_id")),
         "round_00",
-    )
-
-    integral_ids = labels.schema["component_id"].dataType.typeName() in (
-        "byte", "short", "integer", "long"
+        probe=probe,
     )
 
     def _label_sum(df: DataFrame):
         # exact convergence probe: min-propagation only ever DECREASES
         # labels, so Σcomponent_id is strictly decreasing until the fixed
         # point — equality ⟺ converged. decimal(38,0) keeps the sum exact
-        # at 10^9 nodes × int64 ids (a bare long sum could wrap).
+        # at 10^9 nodes × int64 ids (a bare long sum could wrap). Where
+        # the materializer could not observe the sum on its own action
+        # (localCheckpoint rounds), compute it here instead.
         return df.agg(
             F.sum(F.col("component_id").cast("decimal(38,0)"))
         ).first()[0]
@@ -209,25 +229,28 @@ def _dedup_components_loop(pairs, id_a, id_b, max_iter, _materialize,
             .count()
         )
 
-    prev_sum = _label_sum(labels) if integral_ids else None
+    if integral_ids and prev_sum is None:
+        prev_sum = _label_sum(labels)
     for i in range(1, max_iter + 1):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("component_id").alias("nbr_min"))
+        # one propagation round = min over {own label} ∪ {neighbor labels}:
+        # UNION the label table with the edge-joined neighbor labels and
+        # take one hash-aggregate min per node. Identical to the previous
+        # (join → per-src min → left-join back → least) shape but with one
+        # fewer exchange per round (guide §2.4) — the map-side partial min
+        # also shrinks the union before it shuffles (§2.3).
+        propagated = edges.join(labels, edges.dst == labels.doc_id).select(
+            F.col("src").alias("doc_id"), "component_id"
         )
-        new_labels, new_path = _materialize(
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
-                ).alias("component_id"),
-            ),
+        new_labels, new_path, new_sum = _materialize(
+            labels.unionByName(propagated)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id")),
             f"round_{i:02d}",
+            probe=probe,
         )
         if integral_ids:
-            new_sum = _label_sum(new_labels)
+            if new_sum is None:
+                new_sum = _label_sum(new_labels)
             converged = new_sum == prev_sum
             prev_sum = new_sum
         else:
@@ -401,6 +424,14 @@ def lsh_jaccard_pairs(
 _MERSENNE = (1 << 31) - 1
 _A_MAX = 1 << 29
 
+# sig_storage="auto" crossover: inputs estimated under this stay on the
+# memory persist (the write+read round trip dominates); above it — or with
+# no usable estimate — the scratch-parquet table wins (640k-doc A/B in
+# BENCH/DEDUP.md: 2× on the banding scan). 64 MB is conservative: every
+# measured parquet-wins corpus is far above it, every measured
+# memory-wins corpus far below.
+_SIG_MEMORY_MAX_BYTES = 64 << 20
+
 
 def _perm_params(k: int, seed: int = 42):
     rng = np.random.RandomState(seed)
@@ -507,15 +538,26 @@ def minhash_lsh_pairs(
       self-join (single-shuffle on paper, but +9% wall at local[32] —
       the wide-row exchange costs more than the narrow candidate
       re-shuffle it saves)."""
-    from ..util import PathCleanup, resolve_scratch_dir
+    from ..util import PathCleanup, plan_size_bytes, resolve_scratch_dir
 
     spark = docs.sparkSession
     sigs_raw = minhash_signatures(docs, num_hashes, n, id_col, text_col)
     store_dir = None
     if sig_storage == "auto":
-        # require=False: with no executor-visible scratch available the
-        # operator falls back to the memory persist rather than raising
-        store_dir = resolve_scratch_dir(spark, "bfokg_sigs", require=False)
+        # SIZE-ADAPTIVE (round 6): the scratch-parquet signature table is
+        # the measured winner for big corpora (640k docs: banding off
+        # parquet 6.6 s vs 13.5 s off the block cache, BENCH/DEDUP.md) but
+        # for small inputs the write+read-back round trip is pure fixed
+        # cost — sf0.1 (≈3 MB of text) measures the memory persist 10-20%
+        # faster end-to-end. Route on the optimizer's input-size estimate:
+        # small/known → memory, large/unknown → parquet (the at-scale
+        # default; RDD-backed inputs estimate huge and land here).
+        est = plan_size_bytes(docs)
+        small_input = est is not None and 0 <= est <= _SIG_MEMORY_MAX_BYTES
+        if not small_input:
+            # require=False: with no executor-visible scratch available
+            # the operator falls back to the memory persist
+            store_dir = resolve_scratch_dir(spark, "bfokg_sigs", require=False)
     if store_dir is not None:
         # DOCUMENTED EXCEPTION to the plan-building-only operator contract
         # (test_no_jobs_at_operator_construction): parquet-backed signature

@@ -49,8 +49,10 @@ def alias_rows() -> list[tuple[str, str, str, float]]:
 
 
 def alias_dict_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        alias_rows(), "alias STRING, qid STRING, label STRING, prior DOUBLE"
+    from ..util import local_df
+
+    return local_df(
+        spark, alias_rows(), "alias STRING, qid STRING, label STRING, prior DOUBLE"
     )
 
 

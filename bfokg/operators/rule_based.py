@@ -67,19 +67,25 @@ KEYWORD_RULES = {
 
 
 def p31_rules_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    from ..util import local_df
+
+    return local_df(
+        spark,
         [(q, l, RULE_CLAIM_CONFIDENCE) for q, l in P31_RULES],
         "wikidata_qid STRING, bfo_label STRING, confidence DOUBLE",
     )
 
 
 def keyword_rules_df(spark: SparkSession) -> DataFrame:
+    from ..util import local_df
+
     rows = [
         (label, kws, len(kws), i)
         for i, (label, kws) in enumerate(KEYWORD_RULES.items())
     ]
-    return spark.createDataFrame(
-        rows, "bfo_label STRING, keywords ARRAY<STRING>, n_keywords INT, rule_order INT"
+    return local_df(
+        spark, rows,
+        "bfo_label STRING, keywords ARRAY<STRING>, n_keywords INT, rule_order INT"
     )
 
 

@@ -239,17 +239,31 @@ def _lloyd(sample_vecs, n_centroids: int, iters: int):
 
 
 def _centroid_table(spark, centroids):
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, cvec array<double>"
+    from ..util import local_df
+
+    return local_df(
+        spark, [(i, c) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>"
     )
 
 
-def _ivf_assign(df: DataFrame, cent: DataFrame, id_col: str, vec_col: str,
+def _ivf_assign(df: DataFrame, centroids: list, id_col: str, vec_col: str,
                 n_cells: int) -> DataFrame:
     """(_id, cell, vec) — each row joined to its ``n_cells`` nearest
-    centroids via a BROADCAST cross join against the tiny centroid table.
+    centroids via a BROADCAST cross join against the tiny centroid table
+    (a LocalRelation — the broadcast build needs no Spark job).
     Cell ranking uses the centroid dot product rounded to 9 decimals
-    (tiebreak: centroid id) so external engines replay identical cells."""
+    (tiebreak: centroid id) so external engines replay identical cells.
+
+    Round-6 measured NEGATIVE (kept for the record): inlining the centroid
+    matrix as literal arrays and ranking with array_sort over
+    (−cdot, cell) structs makes assignment a zero-exchange projection on
+    paper, but ran 25-40% SLOWER end-to-end at both probe shapes (noop
+    assign 0.5→0.7 s, full search 1.0→1.9 s at sf0.1) — the higher-order
+    dot/array_sort expressions are interpreted, while the join+window
+    pipeline stays in codegen and AQE coalesces its tiny exchanges. The
+    join shape stays."""
+    cent = _centroid_table(df.sparkSession, centroids)
     cdot = F.round(
         _dot(F.col("vec"), F.col("cvec")) / _norm(F.col("vec")), 9
     )  # centroids are unit-norm; normalize the data side only
@@ -282,8 +296,7 @@ def ivf_build(
     per call was the dominant cost). Partitioning note for the 100 TB
     path: write partitioned by ``cell`` so a query batch's nprobe cells
     prune to nprobe partitions at scan time."""
-    cent = _centroid_table(corpus.sparkSession, centroids)
-    return _ivf_assign(corpus, cent, corpus_id, vec_col, 1).select(
+    return _ivf_assign(corpus, centroids, corpus_id, vec_col, 1).select(
         F.col("_id").alias("vec_id"),
         "cell",
         F.col("vec").alias("cvec_data"),
@@ -331,8 +344,7 @@ def ivf_search(
     query probes its ``nprobe`` nearest cells — exact-cosine work is
     ~(nprobe / n_centroids) of brute force, and ONLY the cells table is
     scanned (no corpus access; pinned by the reuse test)."""
-    cent = _centroid_table(queries.sparkSession, centroids)
-    q = _ivf_assign(queries, cent, query_id, vec_col, nprobe).select(
+    q = _ivf_assign(queries, centroids, query_id, vec_col, nprobe).select(
         F.col("_id").alias("query_id"),
         "cell",
         F.col("vec").alias("qvec"),

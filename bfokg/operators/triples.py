@@ -78,25 +78,34 @@ def extract_triples(
         transcripts = transcripts.where(F.col("text").rlike(phrase_rx))
     if impl == "sql":
         lt = F.lower(F.col("text"))
-        zipped = F.arrays_zip(
-            F.regexp_extract_all(lt, F.lit(pattern), F.lit(1)).alias("s"),
-            F.regexp_extract_all(lt, F.lit(pattern), F.lit(2)).alias("p"),
-            F.regexp_extract_all(lt, F.lit(pattern), F.lit(3)).alias("o"),
-        )
+        # ONE regex pass over the (long) turn text — group 0 pulls whole
+        # matches; the three capture groups are then re-extracted from each
+        # SHORT matched substring (anchored — a full match trivially
+        # re-matches itself). The previous shape ran the same automaton
+        # over the full text three times, once per group (guide §1.2 /
+        # §4.2: do the expensive scan once, the cheap slicing after).
+        # Match sets are identical: group 0 and group i come from the same
+        # automaton at the same positions.
         pred_map = F.create_map(
             *[F.lit(x) for kv in _PHRASE_TO_PRED.items() for x in kv]
         )
+        anchored = "^" + pattern + "$"
         return (
             transcripts.select(
-                "conv_id", "turn_idx", "ts", F.explode(zipped).alias("trip")
+                "conv_id", "turn_idx", "ts",
+                F.explode(
+                    F.regexp_extract_all(lt, F.lit(pattern), F.lit(0))
+                ).alias("m"),
             )
             .select(
                 "conv_id",
                 "turn_idx",
                 "ts",
-                F.col("trip.s").alias("subj_mention"),
-                F.element_at(pred_map, F.col("trip.p")).alias("pred"),
-                F.col("trip.o").alias("obj_mention"),
+                F.regexp_extract("m", anchored, 1).alias("subj_mention"),
+                F.element_at(
+                    pred_map, F.regexp_extract("m", anchored, 2)
+                ).alias("pred"),
+                F.regexp_extract("m", anchored, 3).alias("obj_mention"),
             )
         )
 

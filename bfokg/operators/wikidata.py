@@ -92,13 +92,18 @@ CLAIM_CANON_CONFIDENCE = 0.95  # claim-rule confidence (rule_based.py:106)
 def wikidata_claims_df(spark: SparkSession) -> DataFrame:
     """(qid, property, value_qid) — P31 rows for the fixture entities plus
     P279 rows for the class graph."""
+    from ..util import local_df
+
     rows = [(e, "P31", c) for e, classes in sorted(WD_P31.items()) for c in classes]
     rows += [(c, "P279", p) for c, p in WD_P279_EDGES]
-    return spark.createDataFrame(rows, "qid STRING, property STRING, value_qid STRING")
+    return local_df(spark, rows, "qid STRING, property STRING, value_qid STRING")
 
 
 def wd_anchors_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    from ..util import local_df
+
+    return local_df(
+        spark,
         [(w, b, uri_for_label(b)) for w, b in WD_BFO_ANCHORS],
         "wd_class STRING, bfo_label STRING, class_uri STRING",
     )

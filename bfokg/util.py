@@ -5,6 +5,67 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _sql_literal(v, dtype) -> str:
+    """Render one python value as a Spark SQL literal of ``dtype``."""
+    if v is None:
+        return f"CAST(NULL AS {dtype.simpleString()})"
+    if isinstance(dtype, T.StringType):
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return f"CAST({int(v)} AS {dtype.simpleString()})"
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        # repr() is the shortest round-trip decimal; both Python and the
+        # JVM parse it back to the identical IEEE value
+        return f"CAST('{v!r}' AS {dtype.simpleString()})"
+    if isinstance(dtype, T.BooleanType):
+        return "true" if v else "false"
+    if isinstance(dtype, T.ArrayType):
+        if len(v) == 0:
+            return f"CAST(array() AS {dtype.simpleString()})"
+        return "array(" + ",".join(_sql_literal(x, dtype.elementType) for x in v) + ")"
+    if isinstance(dtype, T.MapType):
+        items = list(v.items())
+        if not items:
+            return f"CAST(map() AS {dtype.simpleString()})"
+        parts = []
+        for k, val in items:
+            parts.append(_sql_literal(k, dtype.keyType))
+            parts.append(_sql_literal(val, dtype.valueType))
+        return "map(" + ",".join(parts) + ")"
+    raise TypeError(f"local_df: unsupported literal type {dtype}")
+
+
+def local_df(spark, rows, schema) -> DataFrame:
+    """Bounded driver-local rows as a true ``LocalRelation`` (rendered as
+    ``SELECT ... FROM VALUES``) instead of a parallelized RDD scan.
+
+    Why it matters (guide §2.4/§3.1): a ``createDataFrame`` dim is an RDD
+    scan with ``defaultParallelism`` partitions and UNKNOWN size stats —
+    every ``F.broadcast(dim)`` build is then a real many-task Spark job,
+    and the planner can never pick a broadcast join on its own. A
+    LocalRelation broadcasts straight from driver memory (no job), carries
+    exact size stats, and constant-folds through projections/filters
+    (``ConvertToLocalRelation``). Only for BOUNDED vendored dims (fixture
+    tables, rule dims, centroid tables — tens to hundreds of rows); real
+    data keeps ``createDataFrame``/parquet paths.
+    """
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    names = ", ".join(f.name for f in schema.fields)
+    if not rows:
+        empty = spark.createDataFrame([], schema)
+        return empty
+    vals = ",\n".join(
+        "(" + ",".join(
+            _sql_literal(row[i], f.dataType) for i, f in enumerate(schema.fields)
+        ) + ")"
+        for row in rows
+    )
+    return spark.sql(f"SELECT * FROM VALUES\n{vals}\nAS t({names})")
 
 
 def attach_cleanup(result: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -99,6 +160,18 @@ def release_intermediates(df: DataFrame, blocking: bool = False) -> int:
             pass
     df._bfokg_cached = ()
     return n
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """The optimizer's size estimate for a DataFrame, or None when it
+    cannot be read. Sources with real statistics (LocalRelation, file
+    scans) give usable numbers; RDD-backed plans estimate huge — callers
+    using this to pick a small-input fast path therefore fail safe (an
+    unknown or huge estimate keeps the at-scale strategy)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
 
 
 def resolve_scratch_dir(spark, prefix: str, explicit: str | None = None,

@@ -248,6 +248,59 @@ def _broadcast_threshold(spark) -> int:
         return 10 << 20
 
 
+def _driver_closure(spark, edges: DataFrame, child_col: str, parent_col: str,
+                    max_iterations: int) -> DataFrame:
+    """``build_closure``'s driver-side twin for broadcast-small edge sets:
+    the SAME level-by-level BFS (frontier ⋈ direct edges, first occurrence
+    of a pair wins = min distance, cycle-guarded by the iteration cap,
+    identical non-exhausted RuntimeWarning), run over a bounded collect and
+    returned as a LocalRelation. Output-identical to the loop by
+    construction and pinned in tests."""
+    import warnings
+
+    from .util import attach_cleanup, local_df
+
+    rows = edges.select(child_col, parent_col).collect()
+    direct: dict = {}
+    for c, p in rows:
+        if c != p:
+            direct.setdefault(c, set()).add(p)
+    closure = {
+        (c, p): 1 for c, parents in direct.items() for p in parents
+    }
+    frontier = dict(closure)
+    exhausted = False
+    for _i in range(max_iterations):
+        stepped = {}
+        for (d, a), dist in frontier.items():
+            for p in direct.get(a, ()):
+                if d != p and (d, p) not in closure and (d, p) not in stepped:
+                    stepped[(d, p)] = dist + 1
+        if not stepped:
+            exhausted = True
+            break
+        closure.update(stepped)
+        frontier = stepped
+    if not exhausted:
+        warnings.warn(
+            f"build_closure hit max_iterations={max_iterations} with a "
+            f"non-empty frontier: transitive paths longer than "
+            f"{max_iterations + 1} edges are missing from the closure. "
+            f"Raise max_iterations to cover the graph's depth.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    child_t = edges.schema[child_col].dataType.simpleString()
+    parent_t = edges.schema[parent_col].dataType.simpleString()
+    out = local_df(
+        spark,
+        [(d, a, dist) for (d, a), dist in
+         sorted(closure.items(), key=lambda kv: (str(kv[0][0]), str(kv[0][1])))],
+        f"descendant_uri {child_t}, ancestor_uri {parent_t}, distance int",
+    )
+    return attach_cleanup(out)
+
+
 def build_closure(
     edges: DataFrame,
     child_col: str = "child",
@@ -255,6 +308,7 @@ def build_closure(
     max_iterations: int = 12,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 1,
+    impl: str = "auto",
 ) -> DataFrame:
     """Transitive-closure by iterative DataFrame self-join.
 
@@ -316,13 +370,33 @@ def build_closure(
     a ``RuntimeWarning`` is raised: pairs beyond ``max_iterations + 1`` hops
     are MISSING from the result — size ``max_iterations`` to the graph's
     known depth (real Wikidata P279 chains exceed the default).
+
+    ``impl``: ``"auto"`` (default) routes a BROADCAST-SMALL edge set —
+    optimizer size estimate under the session's broadcast threshold — to a
+    driver-side BFS that returns the closure as a LocalRelation; the
+    iterative distributed loop runs for everything larger or of unknown
+    size. Rationale (round 6): an edge table this small would be collected
+    to the driver by the very first broadcast join anyway, so the bounded
+    collect moves no more data than the distributed plan — and it replaces
+    one Spark job per closure level with zero (the same bounded-collect
+    rule as the IVF centroid sample). ``"loop"`` forces the distributed
+    path (tests pin both paths output-identical; the scale benches drive
+    the loop explicitly).
     """
     import os
     import warnings
 
-    from .util import attach_cleanup, resolve_scratch_dir
+    from .util import attach_cleanup, plan_size_bytes, resolve_scratch_dir
 
     spark = edges.sparkSession
+    if impl not in ("auto", "loop"):
+        raise ValueError(f"impl must be auto|loop, got {impl!r}")
+    if impl == "auto":
+        size_est = plan_size_bytes(edges)
+        if size_est is not None and 0 <= size_est <= _broadcast_threshold(spark):
+            return _driver_closure(
+                spark, edges, child_col, parent_col, max_iterations
+            )
     checkpoint_dir = resolve_scratch_dir(
         spark, "bfokg_closure", explicit=checkpoint_dir
     )

@@ -164,7 +164,8 @@ def dedup_components(
         return spark.read.parquet(path), path, observed
 
     def _release(path) -> None:
-        PathCleanup(path, spark).unpersist()
+        if path is not None:
+            PathCleanup(path, spark).unpersist()
 
     def _final(labels_df: DataFrame) -> DataFrame:
         return attach_cleanup(labels_df, PathCleanup(checkpoint_dir, spark))
@@ -199,13 +200,16 @@ def _dedup_components_loop(pairs, id_a, id_b, max_iter, _materialize,
         ).distinct(),
         "edges",
     )
-    labels, prev_path, prev_sum = _materialize(
+    # round 0 is NOT materialized (round 6): the initial label table is a
+    # pure function of the durably-written edges table (distinct src,
+    # label = own id), so durability adds nothing — losing an executor
+    # recomputes it from edges. Rounds >= 1 keep the reliable write.
+    labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
-        .withColumn("component_id", F.col("doc_id")),
-        "round_00",
-        probe=probe,
+        .withColumn("component_id", F.col("doc_id"))
     )
+    prev_path = None
 
     def _label_sum(df: DataFrame):
         # exact convergence probe: min-propagation only ever DECREASES
@@ -229,8 +233,7 @@ def _dedup_components_loop(pairs, id_a, id_b, max_iter, _materialize,
             .count()
         )
 
-    if integral_ids and prev_sum is None:
-        prev_sum = _label_sum(labels)
+    prev_sum = _label_sum(labels) if integral_ids else None
     for i in range(1, max_iter + 1):
         # one propagation round = min over {own label} ∪ {neighbor labels}:
         # UNION the label table with the edge-joined neighbor labels and
@@ -462,8 +465,22 @@ def minhash_signatures(
       batched 50 MB temporaries thrash mmap across 32 parallel workers
       (measured 4.3 s vs 14.6 s for 640k docs at local[32]).
     Signatures are int32 — every min-hash < 2^31-1 — halving the
-    signature table's cache + shuffle bytes at corpus scale."""
+    signature table's cache + shuffle bytes at corpus scale.
+
+    FAN-OUT (round 6): a small corpus in one single-row-group parquet file
+    scans as ONE task, so the (CPU-heavy) kernel runs serially no matter
+    how many cores exist — a round-robin repartition to default
+    parallelism ahead of the kernel costs a sub-MB exchange and measured
+    0.67 s → 0.48 s on the 5k-doc leg. Gated on the optimizer's size
+    estimate: a big or unknown-size input (the at-scale case — many row
+    groups, naturally parallel) is left untouched."""
     from zlib import crc32
+
+    from ..util import plan_size_bytes
+
+    est = plan_size_bytes(docs)
+    if est is not None and 0 <= est <= _SIG_MEMORY_MAX_BYTES:
+        docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
     a, b = _perm_params(num_hashes, seed)
 
@@ -808,13 +825,16 @@ def embedding_near_dups(
             id_col=id_col, vec_col=vec_col, seed=seed, impl=bucket_impl,
         )
         pairs = cand.join(a, "id_a").join(b, "id_b")
+        cleanup = getattr(cand, "_bfokg_cached", ())
     else:
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        cleanup = ()
     dot = F.aggregate(
         F.zip_with("vec_a", "vec_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    return (
+    return attach_cleanup(
         pairs.withColumn("cosine", dot / (F.col("norm_a") * F.col("norm_b")))
         .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select("id_a", "id_b", "cosine"),
+        *cleanup,
     )

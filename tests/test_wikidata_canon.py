@@ -128,3 +128,43 @@ def test_closure_matches_python_bfs_on_random_dags(spark):
             ).collect()
         }
         assert got == expected, f"seed={seed}"
+
+
+def test_driver_closure_matches_loop(spark):
+    """Round-6 size routing: build_closure(impl="auto") computes broadcast-
+    small edge sets driver-side as a LocalRelation; the result must be
+    pair-and-distance identical to the forced distributed loop — on the
+    fixture claims graph and on a seeded random DAG (driven through a
+    LocalRelation so auto actually takes the driver route)."""
+    import random
+
+    from bfokg.ontology import build_closure
+    from bfokg.util import local_df
+
+    rng = random.Random(13)
+    rand_edges = sorted(
+        {(f"N{i}", f"N{rng.randrange(i)}") for i in range(1, 40)
+         for _ in range(rng.randrange(3))}
+    )
+    p279 = wikidata_claims_df(spark).where(F.col("property") == "P279").select(
+        F.col("qid").alias("child"), F.col("value_qid").alias("parent")
+    )
+    cases = [
+        p279,
+        local_df(spark, rand_edges, "child string, parent string"),
+    ]
+    for edges in cases:
+        auto = {
+            (r.descendant_uri, r.ancestor_uri): r.distance
+            for r in build_closure(edges, "child", "parent").collect()
+        }
+        loop = {
+            (r.descendant_uri, r.ancestor_uri): r.distance
+            for r in build_closure(edges, "child", "parent", impl="loop").collect()
+        }
+        assert auto == loop and auto
+    # routing: the tiny LocalRelation edge set must have taken the driver
+    # path (plan is a LocalTableScan / local-relation scan, no joins)
+    plan = build_closure(cases[1], "child", "parent")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "Join" not in plan

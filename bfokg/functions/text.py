@@ -43,12 +43,31 @@ _TOKEN_SPLIT_KEEP_HYPHEN = r"[^a-z0-9_\-]+"
 
 
 def word_tokens_col(text_col) -> Column:
-    """P3 support — distinct lowercase word tokens of ``text_col``."""
+    """P3 support — distinct lowercase word tokens of ``text_col``.
+
+    TOKEN SET (order is not part of the contract; the only consumer is the
+    order-insensitive ``array_intersect`` scoring): the union of
+    hyphen-keeping tokens and their hyphen-split parts. Round 6 rewrote
+    the evaluation, not the set: the old form ran TWO full-text regex
+    splits plus an extra ``array_distinct`` pass over the doubled array —
+    measured 11-13 s of a 13 s rule stage at 160k docs. Now ONE full-text
+    split produces the (deduped) hyphen-keeping tokens, and
+    the plain parts come from splitting those (short, deduped) tokens on
+    '-' — every maximal ``[a-z0-9_]`` run lies inside a maximal
+    ``[a-z0-9_-]`` run, so splitting the runs on '-' recovers exactly the
+    plain tokenization. Texts with no '-' skip that second step entirely
+    (their two token sets are provably equal)."""
     col = text_col if isinstance(text_col, Column) else F.col(text_col)
     lower = F.lower(col)
-    plain = F.split(lower, _TOKEN_SPLIT)
-    hyphen = F.split(lower, _TOKEN_SPLIT_KEEP_HYPHEN)
-    return F.array_remove(F.array_distinct(F.array_union(plain, hyphen)), "")
+    hyphen = F.array_remove(
+        F.array_distinct(F.split(lower, _TOKEN_SPLIT_KEEP_HYPHEN)), ""
+    )
+    parts = F.array_remove(
+        F.flatten(F.transform(hyphen, lambda t: F.split(t, "-"))), ""
+    )
+    return F.when(
+        lower.contains("-"), F.array_union(hyphen, parts)
+    ).otherwise(hyphen)
 
 
 def natural_label(label: str, definition: str | None) -> str:

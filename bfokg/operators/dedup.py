@@ -125,6 +125,19 @@ def dedup_components(
             f"materialize must be parquet|local, got {materialize!r}"
         )
     if materialize == "local":
+        if checkpoint_dir is not None:
+            # ADVICE r5: the local branch never touches checkpoint_dir —
+            # surface the conflicting intent instead of silently running
+            # non-durable localCheckpoint rounds
+            import warnings
+
+            warnings.warn(
+                "dedup_components: checkpoint_dir is ignored with "
+                "materialize='local' (localCheckpoint rounds are "
+                "executor-local and NOT durable); drop checkpoint_dir or "
+                "use materialize='parquet'",
+                stacklevel=2,
+            )
 
         def _materialize(df: DataFrame, name: str, probe=None):
             # localCheckpoint is an RDD-level action — no QueryExecution

@@ -50,6 +50,12 @@ def hash_split(
     weights = dict(weights or {"train": 0.98, "val": 0.01, "test": 0.01})
     if not weights:
         raise ValueError("weights must be non-empty")
+    for name, wgt in weights.items():
+        # ADVICE r5: a negative/overweight entry previously slipped
+        # through the sum check ({a: -0.5, b: 1.5}) and silently produced
+        # an empty split from non-monotone cumulative bounds
+        if not 0.0 <= wgt <= 1.0:
+            raise ValueError(f"weight for {name!r} not in [0, 1]: {wgt}")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
@@ -85,7 +91,14 @@ def stratified_sample(
     for value, frac in {**fractions, "__default__": default_fraction}.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {value!r} not in [0, 1]: {frac}")
-    bucket = sample_bucket_col(id_col, seed, "sample")
+    # ADVICE r5: crc32(NULL) is NULL, so a NULL id made `bucket < thr`
+    # NULL and silently DROPPED the row even at default_fraction=1.0 —
+    # while hash_split routes the same row into its last split. Coalesce
+    # the bucket to 0 so NULL-id rows deterministically follow their
+    # stratum's keep decision (kept for any fraction > 0), consistent
+    # with hash_split's keep-everything treatment. Non-NULL ids are
+    # untouched.
+    bucket = F.coalesce(sample_bucket_col(id_col, seed, "sample"), F.lit(0))
     sc = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
     thr = F.lit(int(round(default_fraction * BUCKETS)))
     for value, frac in fractions.items():

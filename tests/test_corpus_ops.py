@@ -976,3 +976,47 @@ def test_ivf_cells_table_partition_pruning(spark, tmp_path):
     mem = ivf_search(q, ivf_build(base, cents), cents, k=3, nprobe=2)
     assert ({tuple(r) for r in out.collect()}
             == {tuple(r) for r in mem.collect()})
+
+
+def test_sampling_guards_and_null_ids(spark):
+    """ADVICE r5 fixes: hash_split rejects out-of-range weights;
+    stratified_sample keeps NULL-id rows (bucket coalesced to 0) instead
+    of silently dropping them, consistent with hash_split routing NULL
+    ids into its last split."""
+    import pytest as _pytest
+
+    from bfokg.operators.sampling import hash_split, stratified_sample
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (None, "en"), (None, "de")],
+        "doc_id long, lang string",
+    )
+    with _pytest.raises(ValueError, match="not in \\[0, 1\\]"):
+        hash_split(docs, {"a": -0.5, "b": 1.5})
+    # NULL ids: kept for any fraction > 0 (bucket 0 < threshold)...
+    out = stratified_sample(docs, {"en": 0.5}, "lang", default_fraction=0.9)
+    null_rows = out.where(F.col("doc_id").isNull())
+    assert null_rows.count() == 2
+    # ...and dropped at fraction 0 like any other row of that stratum
+    none_kept = stratified_sample(docs, {"en": 0.0, "de": 0.0}, "lang")
+    assert none_kept.count() == 0
+    # hash_split still labels NULL ids (last split) — the two operators
+    # now agree that NULL-id rows survive the curation chain
+    labeled = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert labeled.where(F.col("doc_id").isNull()).count() == 2
+
+
+def test_components_local_with_checkpoint_dir_warns(spark, tmp_path):
+    """ADVICE r5: materialize='local' ignores checkpoint_dir — that
+    conflict must be surfaced, not silent."""
+    import warnings as _warnings
+
+    from bfokg.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        out = dedup_components(pairs, materialize="local",
+                               checkpoint_dir=str(tmp_path))
+        assert out.count() == 2
+    assert any("checkpoint_dir is ignored" in str(w.message) for w in caught)

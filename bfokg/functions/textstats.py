@@ -26,7 +26,11 @@ STOPWORDS = {
 
 def tokens_col(text_col) -> Column:
     c = text_col if isinstance(text_col, Column) else F.col(text_col)
-    return F.filter(F.split(F.lower(c), r"[^a-zA-Z0-9']+"), lambda t: t != "")
+    # regexp_extract_all, not split: the regexp_* expressions cache their
+    # compiled pattern while StringSplit recompiles per call (round 6,
+    # measured 30× on the keyword tokenizer). Identical token sequence:
+    # the matches of the positive class == the non-empty split fields.
+    return F.regexp_extract_all(F.lower(c), F.lit(r"[a-zA-Z0-9']+"), F.lit(0))
 
 
 def token_count_col(text_col) -> Column:
@@ -87,10 +91,16 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
 def lines_col(text_col) -> Column:
-    """Non-empty trimmed lines of the document."""
+    """Non-empty trimmed lines of the document. (extract_all of the
+    non-newline runs ≡ split on newline minus empty fields, with the
+    cached-pattern advantage — see tokens_col.)"""
     c = text_col if isinstance(text_col, Column) else F.col(text_col)
     return F.filter(
-        F.transform(F.split(c, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+        F.transform(
+            F.regexp_extract_all(c, F.lit(r"[^\n]+"), F.lit(0)),
+            lambda l: F.trim(l),
+        ),
+        lambda l: l != "",
     )
 
 

@@ -316,8 +316,15 @@ def dedup_keep_list(
 def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc — built-ins only:
-    split → sliding window via transform over indices → explode."""
-    toks = F.split(normalize_text_col(F.col(text_col)), " ")
+    tokenize → sliding window via transform over indices → explode.
+    regexp_extract_all, not split (round 6): regexp_* expressions cache
+    their compiled pattern, StringSplit recompiles per call. Same token
+    sequence (norm is space-collapsed and trimmed, so split fields ==
+    non-space runs; the empty-text corner lands in the same
+    single-shingle branch either way)."""
+    toks = F.regexp_extract_all(
+        normalize_text_col(F.col(text_col)), F.lit("[^ ]+"), F.lit(0)
+    )
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),

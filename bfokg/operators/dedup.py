@@ -67,7 +67,7 @@ def dedup_components(
     id_b: str = "doc_b",
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
-    materialize: str = "parquet",
+    materialize: str = "auto",
 ) -> DataFrame:
     """Near-dup PAIRS → transitive duplicate CLUSTERS:
     (doc_id, component_id) where component_id = min doc id reachable
@@ -113,17 +113,37 @@ def dedup_components(
     ``localCheckpoint(eager=True)`` — executor-local RDD blocks, NOT
     durable (one lost executor fails the whole iterative job) and freed
     only by ContextCleaner GC. It exists for single-box ephemeral runs
-    and as the measured alternative in BENCH/DEDUP.md's checkpoint A/B;
-    cluster pipelines keep the parquet default."""
+    and as the measured alternative in BENCH/DEDUP.md's checkpoint A/B.
+
+    ``materialize="auto"`` (round-6 default): the edge table is ALWAYS
+    written durably first (it is the loop's recovery anchor either way),
+    and the per-round materialization is then chosen from its ACTUAL
+    on-disk size — the same size-gate pattern as ``ontology.build_closure``
+    and the MinHash sig storage, but keyed on real bytes rather than a
+    join-product estimate (which is wildly inflated for pair plans). A
+    broadcast-small edge table (≤ the session broadcast threshold) runs
+    localCheckpoint rounds: its whole loop re-runs from the durable edges
+    in under a second after an executor loss, so paying the durable write
+    EVERY round (measured 1.40×, BENCH/DEDUP.md) buys nothing. Big edge
+    tables — the multi-hour 10^9-doc runs the durability argument is
+    about — keep the reliable parquet rounds. Pass ``"parquet"`` to force
+    durable rounds at any size."""
     import os
 
-    from ..util import PathCleanup, resolve_scratch_dir
+    from ..util import PathCleanup, plan_size_bytes, resolve_scratch_dir
 
     spark = pairs.sparkSession
-    if materialize not in ("parquet", "local"):
+    if materialize not in ("auto", "parquet", "local"):
         raise ValueError(
-            f"materialize must be parquet|local, got {materialize!r}"
+            f"materialize must be auto|parquet|local, got {materialize!r}"
         )
+
+    def _local_materialize(df: DataFrame, name: str, probe=None):
+        # localCheckpoint is an RDD-level action — no QueryExecution
+        # listener fires, so the convergence sum cannot ride it; the
+        # caller computes it with a separate (cheap, cache-backed) agg
+        return df.localCheckpoint(eager=True), None, None
+
     if materialize == "local":
         if checkpoint_dir is not None:
             # ADVICE r5: the local branch never touches checkpoint_dir —
@@ -139,26 +159,24 @@ def dedup_components(
                 stacklevel=2,
             )
 
-        def _materialize(df: DataFrame, name: str, probe=None):
-            # localCheckpoint is an RDD-level action — no QueryExecution
-            # listener fires, so the convergence sum cannot ride it; the
-            # caller computes it with a separate (cheap, cache-backed) agg
-            return df.localCheckpoint(eager=True), None, None
-
-        def _release(handle) -> None:
+        def _release_noop(handle) -> None:
             pass  # executor-local blocks; ContextCleaner GC frees them
 
-        def _final(labels_df: DataFrame) -> DataFrame:
+        def _final_plain(labels_df: DataFrame) -> DataFrame:
             return labels_df
 
-        return _dedup_components_loop(
-            pairs, id_a, id_b, max_iter, _materialize, _release, _final
+        edges, _, _ = _components_edges(
+            pairs, id_a, id_b, _local_materialize
         )
+        return _dedup_components_loop(
+            edges, max_iter, _local_materialize, _release_noop, _final_plain
+        )
+    explicit_dir = checkpoint_dir is not None
     checkpoint_dir = resolve_scratch_dir(
         spark, "bfokg_components", explicit=checkpoint_dir
     )
 
-    def _materialize(df: DataFrame, name: str, probe=None):
+    def _pq_materialize(df: DataFrame, name: str, probe=None):
         # the convergence probe rides the round's own write action via
         # df.observe (an AggregatingAccumulator): previously each round
         # paid a SEPARATE scan-and-sum job over the parquet it had just
@@ -184,8 +202,19 @@ def dedup_components(
         return attach_cleanup(labels_df, PathCleanup(checkpoint_dir, spark))
 
     try:
+        edges, _, _ = _components_edges(pairs, id_a, id_b, _pq_materialize)
+        round_mat, round_rel = _pq_materialize, _release
+        if materialize == "auto" and not explicit_dir:
+            # an EXPLICIT checkpoint_dir is a request for durable scratch —
+            # auto never routes around it; otherwise route by the ACTUAL
+            # on-disk size of the just-written edges (file-backed stats)
+            from ..ontology import _broadcast_threshold
+
+            est = plan_size_bytes(edges)
+            if est is not None and 0 <= est <= _broadcast_threshold(spark):
+                round_mat, round_rel = _local_materialize, lambda h: None
         return _dedup_components_loop(
-            pairs, id_a, id_b, max_iter, _materialize, _release, _final
+            edges, max_iter, round_mat, round_rel, _final
         )
     except BaseException:
         # failed runs (non-convergence, mid-loop write/job failure) must
@@ -195,24 +224,31 @@ def dedup_components(
         raise
 
 
-def _dedup_components_loop(pairs, id_a, id_b, max_iter, _materialize,
-                           _release, _final) -> DataFrame:
-    """The min-label-propagation loop shared by both ``materialize``
-    modes of ``dedup_components`` — the dataflow is identical; only how
-    each round's frame is pinned (reliable parquet vs localCheckpoint)
-    differs."""
-    integral_ids = pairs.schema[id_a].dataType.typeName() in (
-        "byte", "short", "integer", "long"
-    )
-    probe = F.col("component_id") if integral_ids else None
-
+def _components_edges(pairs, id_a, id_b, _materialize):
+    """Materialize the undirected, deduplicated edge table — the loop's
+    recovery anchor (and, in auto mode, the size probe for choosing the
+    round materialization)."""
     edges_ab = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges, _, _ = _materialize(
+    return _materialize(
         edges_ab.unionByName(
             edges_ab.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct(),
         "edges",
     )
+
+
+def _dedup_components_loop(edges, max_iter, _materialize,
+                           _release, _final) -> DataFrame:
+    """The min-label-propagation loop shared by the ``materialize``
+    modes of ``dedup_components`` — the dataflow is identical; only how
+    each round's frame is pinned (reliable parquet vs localCheckpoint)
+    differs. ``edges`` is the already-materialized undirected edge
+    table from ``_components_edges``."""
+    integral_ids = edges.schema["src"].dataType.typeName() in (
+        "byte", "short", "integer", "long"
+    )
+    probe = F.col("component_id") if integral_ids else None
+
     # round 0 is NOT materialized (round 6): the initial label table is a
     # pure function of the durably-written edges table (distinct src,
     # label = own id), so durability adds nothing — losing an executor

@@ -1020,3 +1020,49 @@ def test_components_local_with_checkpoint_dir_warns(spark, tmp_path):
                                checkpoint_dir=str(tmp_path))
         assert out.count() == 2
     assert any("checkpoint_dir is ignored" in str(w.message) for w in caught)
+
+
+def test_components_auto_materialization_routing(spark, tmp_path):
+    """Round-6 auto mode: the edge table is always durably written; for a
+    broadcast-small edge table the ROUNDS run as localCheckpoint (scratch
+    holds only `edges`), while an explicit checkpoint_dir keeps fully
+    durable parquet rounds. Results identical across modes."""
+    import os
+
+    from bfokg.operators.dedup import dedup_components
+    from bfokg.util import release_intermediates
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    expected = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                (20, 20), (21, 20), (22, 20), (23, 20)}
+
+    out_auto = dedup_components(pairs)  # default auto
+    rows_auto = {(r.doc_id, r.component_id) for r in out_auto.collect()}
+    handles = getattr(out_auto, "_bfokg_cached", ())
+    scratch = [h.path for h in handles if hasattr(h, "path")]
+    assert scratch, "auto mode must still carry the durable-scratch handle"
+    names = sorted(os.listdir(scratch[0]))
+    assert names == ["edges"], f"small graph should write only edges, got {names}"
+    release_intermediates(out_auto)
+
+    out_pq = dedup_components(pairs, materialize="parquet",
+                              checkpoint_dir=str(tmp_path))
+    rows_pq = {(r.doc_id, r.component_id) for r in out_pq.collect()}
+    handles_pq = getattr(out_pq, "_bfokg_cached", ())
+    sub = [h.path for h in handles_pq if hasattr(h, "path")][0]
+    assert any(n.startswith("round_") for n in os.listdir(sub)), \
+        "parquet mode keeps the final durable round"
+    release_intermediates(out_pq)
+
+    out_auto_dir = dedup_components(pairs, checkpoint_dir=str(tmp_path))
+    rows_dir = {(r.doc_id, r.component_id) for r in out_auto_dir.collect()}
+    sub2 = [h.path for h in getattr(out_auto_dir, "_bfokg_cached", ())
+            if hasattr(h, "path")][0]
+    assert any(n.startswith("round_") for n in os.listdir(sub2)), \
+        "auto with an explicit checkpoint_dir keeps durable rounds"
+    release_intermediates(out_auto_dir)
+
+    assert rows_auto == rows_pq == rows_dir == expected

@@ -119,7 +119,17 @@ def _entity_surface(rng: np.random.RandomState, idx: int) -> str:
     return forms[rng.randint(len(forms))]
 
 
-TURNS_PER_FILE = 12_000  # multi-file output so the Spark scan parallelizes
+# Multi-file output so the Spark scan parallelizes. 2k turns/file (round
+# 6, guide §2.5 "input skew: fix at the source" / §6 file layout): with
+# the default openCostInBytes packing, each of these small files is its
+# own scan task, so file count == scan parallelism for the regex-heavy
+# extraction path — 12k/file gave sf0.1 only 5 tasks on 32 cores (the
+# kernel ran 6× under-parallel); 2k/file gives 30. At sf1.0 the ~300
+# files pack ~9 per split (bytes/core ≈ 38 MB > the 4 MB charged size),
+# landing at ~34 tasks — file count stops mattering once the table is
+# big enough, which is exactly the right asymptote. Rows are identical
+# at any file size (one continuous rng stream; files are just slices).
+TURNS_PER_FILE = 2_000
 
 
 def generate_transcripts(sf: float, overwrite: bool = False) -> str:

@@ -121,13 +121,20 @@ def dedup_components(
     on-disk size — the same size-gate pattern as ``ontology.build_closure``
     and the MinHash sig storage, but keyed on real bytes rather than a
     join-product estimate (which is wildly inflated for pair plans). A
-    broadcast-small edge table (≤ the session broadcast threshold) runs
-    localCheckpoint rounds: its whole loop re-runs from the durable edges
-    in under a second after an executor loss, so paying the durable write
-    EVERY round (measured 1.40×, BENCH/DEDUP.md) buys nothing. Big edge
-    tables — the multi-hour 10^9-doc runs the durability argument is
-    about — keep the reliable parquet rounds. Pass ``"parquet"`` to force
-    durable rounds at any size."""
+    broadcast-small edge table (≤ the session broadcast threshold) is
+    collected to the driver and resolved by union-find in one pass
+    (``_driver_components``) — the same bounded-collect rule as
+    ``ontology._driver_closure`` and the IVF centroid sample: a table
+    this small would be collected for its first broadcast join anyway,
+    and the distributed loop's per-round fixed costs (join + aggregate +
+    materialization + convergence probe, × diameter+1 rounds) are 100%
+    overhead for it. Output-identical by construction (component_id =
+    min id reachable through the pair graph) and pinned against the loop
+    in tests. Big edge tables — the multi-hour 10^9-doc runs the
+    durability argument is about — keep the reliable parquet rounds.
+    Pass ``"parquet"`` to force the durable distributed loop at any size
+    (``"local"`` likewise forces the loop, with localCheckpoint
+    rounds)."""
     import os
 
     from ..util import PathCleanup, plan_size_bytes, resolve_scratch_dir
@@ -203,7 +210,6 @@ def dedup_components(
 
     try:
         edges, _, _ = _components_edges(pairs, id_a, id_b, _pq_materialize)
-        round_mat, round_rel = _pq_materialize, _release
         if materialize == "auto" and not explicit_dir:
             # an EXPLICIT checkpoint_dir is a request for durable scratch —
             # auto never routes around it; otherwise route by the ACTUAL
@@ -212,9 +218,14 @@ def dedup_components(
 
             est = plan_size_bytes(edges)
             if est is not None and 0 <= est <= _broadcast_threshold(spark):
-                round_mat, round_rel = _local_materialize, lambda h: None
+                comp = _driver_components(edges)
+                # the LocalRelation result no longer references the
+                # scratch — release it now instead of handing the caller
+                # a cleanup obligation
+                PathCleanup(checkpoint_dir, spark).unpersist()
+                return comp
         return _dedup_components_loop(
-            edges, max_iter, round_mat, round_rel, _final
+            edges, max_iter, _pq_materialize, _release, _final
         )
     except BaseException:
         # failed runs (non-convergence, mid-loop write/job failure) must
@@ -235,6 +246,62 @@ def _components_edges(pairs, id_a, id_b, _materialize):
         ).distinct(),
         "edges",
     )
+
+
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """``dedup_components``' driver-side twin for broadcast-small edge
+    tables — the same bounded-collect rule as ``ontology._driver_closure``
+    and the IVF centroid sample: the already size-gated, durably-written
+    undirected edge table is collected once and resolved by union-find
+    (path-halving), then each component is canonicalized to its min
+    member id. Output-identical to the min-label-propagation loop by
+    construction — both emit (doc_id, component_id = min id reachable
+    through the pair graph) over exactly the nodes that appear in a
+    pair — and pinned against the loop in tests (int and string ids;
+    Python's str ordering and Spark's UTF8String ordering agree because
+    UTF-8 byte order preserves code-point order). Small results return
+    as a true LocalRelation so a downstream join (``dedup_keep_list``)
+    can broadcast them without a build job; above that the plain
+    createDataFrame path avoids rendering a megabyte VALUES clause."""
+    from pyspark.sql import types as T
+
+    from ..util import local_df
+
+    spark = edges.sparkSession
+    src_type = edges.schema["src"].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges.select("src", "dst").collect():
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    members: dict = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    out = []
+    for group in members.values():
+        keeper = min(group)
+        out.extend((node, keeper) for node in group)
+    schema = T.StructType([
+        T.StructField("doc_id", src_type),
+        T.StructField("component_id", src_type),
+    ])
+    if len(out) > 20000:
+        return spark.createDataFrame(out, schema)
+    return local_df(spark, out, schema)
 
 
 def _dedup_components_loop(edges, max_iter, _materialize,

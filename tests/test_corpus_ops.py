@@ -1023,10 +1023,11 @@ def test_components_local_with_checkpoint_dir_warns(spark, tmp_path):
 
 
 def test_components_auto_materialization_routing(spark, tmp_path):
-    """Round-6 auto mode: the edge table is always durably written; for a
-    broadcast-small edge table the ROUNDS run as localCheckpoint (scratch
-    holds only `edges`), while an explicit checkpoint_dir keeps fully
-    durable parquet rounds. Results identical across modes."""
+    """Round-6 auto mode: the edge table is always durably written; a
+    broadcast-small edge table is then resolved by driver union-find
+    (LocalRelation result, scratch released eagerly — no cleanup handle),
+    while an explicit checkpoint_dir keeps fully durable parquet rounds.
+    Results identical across modes."""
     import os
 
     from bfokg.operators.dedup import dedup_components
@@ -1039,14 +1040,13 @@ def test_components_auto_materialization_routing(spark, tmp_path):
     expected = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
                 (20, 20), (21, 20), (22, 20), (23, 20)}
 
-    out_auto = dedup_components(pairs)  # default auto
+    out_auto = dedup_components(pairs)  # default auto → driver union-find
     rows_auto = {(r.doc_id, r.component_id) for r in out_auto.collect()}
-    handles = getattr(out_auto, "_bfokg_cached", ())
-    scratch = [h.path for h in handles if hasattr(h, "path")]
-    assert scratch, "auto mode must still carry the durable-scratch handle"
-    names = sorted(os.listdir(scratch[0]))
-    assert names == ["edges"], f"small graph should write only edges, got {names}"
-    release_intermediates(out_auto)
+    scratch = [h.path for h in getattr(out_auto, "_bfokg_cached", ())
+               if hasattr(h, "path")]
+    assert not scratch, "driver route must release its scratch eagerly"
+    assert "LocalTableScan" in out_auto._jdf.queryExecution().executedPlan().toString(), \
+        "small-graph components should come back as a LocalRelation"
 
     out_pq = dedup_components(pairs, materialize="parquet",
                               checkpoint_dir=str(tmp_path))
@@ -1066,3 +1066,35 @@ def test_components_auto_materialization_routing(spark, tmp_path):
     release_intermediates(out_auto_dir)
 
     assert rows_auto == rows_pq == rows_dir == expected
+
+
+def test_components_driver_matches_loop(spark):
+    """The driver union-find route is output-identical to the distributed
+    min-label-propagation loop — pinned on a seeded random graph (long
+    ids) and on string ids (which also exercise the loop's join-probe
+    fallback), the same equivalence pattern as
+    test_driver_closure_matches_loop."""
+    import random
+
+    from bfokg.operators.dedup import dedup_components
+
+    rng = random.Random(406)
+    pairs_rows = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    pairs_rows = [(a, b) for a, b in pairs_rows if a != b]
+    pairs = spark.createDataFrame(pairs_rows, "doc_a long, doc_b long")
+    driver = {(r.doc_id, r.component_id)
+              for r in dedup_components(pairs).collect()}
+    loop = {(r.doc_id, r.component_id)
+            for r in dedup_components(pairs, materialize="parquet").collect()}
+    assert driver == loop and driver
+
+    s_pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("d", "c"), ("x", "y"), ("é", "z")],
+        "doc_a string, doc_b string",
+    )
+    s_driver = {(r.doc_id, r.component_id)
+                for r in dedup_components(s_pairs).collect()}
+    s_loop = {(r.doc_id, r.component_id)
+              for r in dedup_components(s_pairs, materialize="parquet").collect()}
+    assert s_driver == s_loop
+    assert ("é", "z") in s_driver  # non-ASCII min agrees across engines

@@ -115,29 +115,33 @@ def dedup_components(
     only by ContextCleaner GC. It exists for single-box ephemeral runs
     and as the measured alternative in BENCH/DEDUP.md's checkpoint A/B.
 
-    ``materialize="auto"`` (round-6 default): the edge table is ALWAYS
-    written durably first (it is the loop's recovery anchor either way),
-    and the per-round materialization is then chosen from its ACTUAL
-    on-disk size — the same size-gate pattern as ``ontology.build_closure``
-    and the MinHash sig storage, but keyed on real bytes rather than a
-    join-product estimate (which is wildly inflated for pair plans). A
-    broadcast-small edge table (≤ the session broadcast threshold) is
-    collected to the driver and resolved by union-find in one pass
-    (``_driver_components``) — the same bounded-collect rule as
-    ``ontology._driver_closure`` and the IVF centroid sample: a table
-    this small would be collected for its first broadcast join anyway,
-    and the distributed loop's per-round fixed costs (join + aggregate +
-    materialization + convergence probe, × diameter+1 rounds) are 100%
-    overhead for it. Output-identical by construction (component_id =
-    min id reachable through the pair graph) and pinned against the loop
-    in tests. Big edge tables — the multi-hour 10^9-doc runs the
-    durability argument is about — keep the reliable parquet rounds.
-    Pass ``"parquet"`` to force the durable distributed loop at any size
-    (``"local"`` likewise forces the loop, with localCheckpoint
-    rounds)."""
+    ``materialize="auto"`` (round-6 default): small graphs are routed to
+    a driver-side union-find, big graphs to the durable parquet loop.
+    The route is decided by a BOUNDED collect-probe
+    (``_probe_driver_components``): at most cap+1 undirected edges are
+    collected straight off the pair plan (cap = broadcast threshold /
+    16 B — the same session threshold as ``ontology._driver_closure``
+    and the IVF centroid sample's bounded-collect rule). A complete,
+    under-threshold result resolves by union-find in one pass with NO
+    scratch written at all — for a graph this small the durable edges
+    write bought nothing (the whole query re-runs in under a second on
+    failure) and its write + read-back + collect were three jobs where
+    the probe is one. A clipped or over-budget probe falls through to
+    the loop, which writes the edge table durably first (its recovery
+    anchor) exactly as before; the fall-through costs one partial extra
+    pass over the pair plan (the probe's CollectLimit stops growing jobs
+    once cap+1 rows arrive), which at loop scale is noise against the
+    multi-round loop itself. Output-identical by construction
+    (component_id = min id reachable through the pair graph) and pinned
+    against the loop in tests. Big edge tables — the multi-hour 10^9-doc
+    runs the durability argument is about — keep the reliable parquet
+    rounds. Pass ``"parquet"`` to force the durable distributed loop at
+    any size (``"local"`` likewise forces the loop, with localCheckpoint
+    rounds); an explicit ``checkpoint_dir`` also skips the probe — it is
+    a request for durable scratch."""
     import os
 
-    from ..util import PathCleanup, plan_size_bytes, resolve_scratch_dir
+    from ..util import PathCleanup, resolve_scratch_dir
 
     spark = pairs.sparkSession
     if materialize not in ("auto", "parquet", "local"):
@@ -179,6 +183,10 @@ def dedup_components(
             edges, max_iter, _local_materialize, _release_noop, _final_plain
         )
     explicit_dir = checkpoint_dir is not None
+    if materialize == "auto" and not explicit_dir:
+        comp = _probe_driver_components(spark, pairs, id_a, id_b)
+        if comp is not None:
+            return comp
     checkpoint_dir = resolve_scratch_dir(
         spark, "bfokg_components", explicit=checkpoint_dir
     )
@@ -210,20 +218,6 @@ def dedup_components(
 
     try:
         edges, _, _ = _components_edges(pairs, id_a, id_b, _pq_materialize)
-        if materialize == "auto" and not explicit_dir:
-            # an EXPLICIT checkpoint_dir is a request for durable scratch —
-            # auto never routes around it; otherwise route by the ACTUAL
-            # on-disk size of the just-written edges (file-backed stats)
-            from ..ontology import _broadcast_threshold
-
-            est = plan_size_bytes(edges)
-            if est is not None and 0 <= est <= _broadcast_threshold(spark):
-                comp = _driver_components(edges)
-                # the LocalRelation result no longer references the
-                # scratch — release it now instead of handing the caller
-                # a cleanup obligation
-                PathCleanup(checkpoint_dir, spark).unpersist()
-                return comp
         return _dedup_components_loop(
             edges, max_iter, _pq_materialize, _release, _final
         )
@@ -248,27 +242,60 @@ def _components_edges(pairs, id_a, id_b, _materialize):
     )
 
 
-def _driver_components(edges: DataFrame) -> DataFrame:
+def _probe_driver_components(spark, pairs: DataFrame, id_a: str,
+                             id_b: str) -> DataFrame | None:
+    """Bounded collect-probe for ``dedup_components``' driver route: pull
+    at most cap+1 undirected edges straight off the pair plan (cap =
+    session broadcast threshold / 16 B — for int64 edges the row clip IS
+    the byte budget; string edges get an explicit byte check on the
+    collected rows). A complete, under-budget result resolves on the
+    driver with no scratch ever written; returns None otherwise and the
+    caller falls through to the durable loop. The clip bounds driver
+    memory the same way the old written-bytes gate did — the collect can
+    never grow past cap rows regardless of corpus size — and CollectLimit
+    executes partitions incrementally, so an over-cap graph aborts the
+    probe after a partial pass rather than a full one."""
+    from ..ontology import _broadcast_threshold
+
+    threshold = int(_broadcast_threshold(spark))
+    if threshold <= 0:
+        return None
+    cap = max(1, threshold // 16)
+    edges_ab = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges_ab.unionByName(
+        edges_ab.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    rows = edges.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    nbytes = 0
+    for a, b in rows:
+        for v in (a, b):
+            nbytes += len(v.encode("utf-8")) + 8 if isinstance(v, str) else 16
+    if nbytes > threshold:
+        return None
+    return _driver_components_rows(spark, rows, edges.schema["src"].dataType)
+
+
+def _driver_components_rows(spark, rows, src_type) -> DataFrame:
     """``dedup_components``' driver-side twin for broadcast-small edge
     tables — the same bounded-collect rule as ``ontology._driver_closure``
-    and the IVF centroid sample: the already size-gated, durably-written
-    undirected edge table is collected once and resolved by union-find
-    (path-halving), then each component is canonicalized to its min
-    member id. Output-identical to the min-label-propagation loop by
-    construction — both emit (doc_id, component_id = min id reachable
-    through the pair graph) over exactly the nodes that appear in a
-    pair — and pinned against the loop in tests (int and string ids;
-    Python's str ordering and Spark's UTF8String ordering agree because
-    UTF-8 byte order preserves code-point order). Small results return
-    as a true LocalRelation so a downstream join (``dedup_keep_list``)
-    can broadcast them without a build job; above that the plain
-    createDataFrame path avoids rendering a megabyte VALUES clause."""
+    and the IVF centroid sample: the size-gated undirected edge rows are
+    resolved by union-find (path-halving), then each component is
+    canonicalized to its min member id. Output-identical to the
+    min-label-propagation loop by construction — both emit
+    (doc_id, component_id = min id reachable through the pair graph) over
+    exactly the nodes that appear in a pair — and pinned against the loop
+    in tests (int and string ids; Python's str ordering and Spark's
+    UTF8String ordering agree because UTF-8 byte order preserves
+    code-point order). Small results return as a true LocalRelation so a
+    downstream join (``dedup_keep_list``) can broadcast them without a
+    build job; above that the plain createDataFrame path avoids rendering
+    a megabyte VALUES clause."""
     from pyspark.sql import types as T
 
     from ..util import local_df
 
-    spark = edges.sparkSession
-    src_type = edges.schema["src"].dataType
     parent: dict = {}
 
     def find(x):
@@ -279,7 +306,7 @@ def _driver_components(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in edges.select("src", "dst").collect():
+    for a, b in rows:
         if a not in parent:
             parent[a] = a
         if b not in parent:

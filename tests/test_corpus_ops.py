@@ -1068,6 +1068,32 @@ def test_components_auto_materialization_routing(spark, tmp_path):
     assert rows_auto == rows_pq == rows_dir == expected
 
 
+def test_components_probe_clip_falls_through_to_loop(spark):
+    """Round-6 probe-first auto routing: when the bounded collect-probe
+    clips (edge table over the session broadcast threshold), auto must
+    fall through to the durable loop and still produce identical
+    components. Pinned by shrinking the threshold so a 60-edge graph
+    exceeds it (cap = threshold//16 = 4 rows)."""
+    from bfokg.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    expected = {(i, 0) for i in range(31)}
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "64")
+        out = dedup_components(pairs)  # probe clips at cap=4 → loop
+        rows = {(r.doc_id, r.component_id) for r in out.collect()}
+        from bfokg.util import release_intermediates
+
+        release_intermediates(out)
+    finally:
+        spark.conf.set(key, old)
+    assert rows == expected
+
+
 def test_components_driver_matches_loop(spark):
     """The driver union-find route is output-identical to the distributed
     min-label-propagation loop — pinned on a seeded random graph (long

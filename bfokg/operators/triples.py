@@ -131,13 +131,40 @@ def extract_triples(
 
 def link_triples(raw_triples: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """Resolve subj/obj mentions to QIDs via two broadcast joins against the
-    max-prior-per-alias resolution (deterministic prior DESC, qid ASC)."""
-    best = Window.partitionBy("alias").orderBy(F.desc("prior"), F.asc("qid"))
-    resolved = (
-        alias_dict.withColumn("rn", F.row_number().over(best))
-        .where(F.col("rn") == 1)
-        .select("alias", "qid")
-    )
+    max-prior-per-alias resolution (deterministic prior DESC, qid ASC).
+
+    When the alias dict is driver-resident (its optimized plan is a
+    LocalRelation — the vendored ``alias_dict_df`` always is), the
+    resolution is computed in Python and returned as a LocalRelation:
+    the row_number window over the dim otherwise forces a
+    Sort→Exchange→Sort→Window subtree under EACH of the two broadcast
+    builds — two Spark jobs per query (and per stream_edges micro-batch)
+    spent ranking the same bounded dim. Identical rule, identical rows;
+    distributed alias dicts keep the window path unchanged."""
+    from ..util import local_plan_rows
+
+    local_rows = local_plan_rows(alias_dict.select("alias", "qid", "prior"))
+    if local_rows is not None:
+        from ..util import local_df
+
+        best_by_alias: dict = {}
+        for r in local_rows:
+            key = (-r.prior, r.qid)
+            cur = best_by_alias.get(r.alias)
+            if cur is None or key < cur:
+                best_by_alias[r.alias] = key
+        resolved = local_df(
+            raw_triples.sparkSession,
+            sorted((a, k[1]) for a, k in best_by_alias.items()),
+            "alias STRING, qid STRING",
+        )
+    else:
+        best = Window.partitionBy("alias").orderBy(F.desc("prior"), F.asc("qid"))
+        resolved = (
+            alias_dict.withColumn("rn", F.row_number().over(best))
+            .where(F.col("rn") == 1)
+            .select("alias", "qid")
+        )
     subj = resolved.select(
         F.col("alias").alias("subj_mention"), F.col("qid").alias("subj_qid")
     )

@@ -68,6 +68,24 @@ def local_df(spark, rows, schema) -> DataFrame:
     return spark.sql(f"SELECT * FROM VALUES\n{vals}\nAS t({names})")
 
 
+def local_plan_rows(df: DataFrame):
+    """The DataFrame's rows when its OPTIMIZED plan is a LocalRelation
+    (driver-resident — collecting costs no Spark job), else None.
+
+    The detection is planning-only (no job, no action): operators use it
+    to route bounded vendored dims through driver-side Python instead of
+    running tiny per-dim Spark jobs (windows/aggregates do not fold
+    through ``ConvertToLocalRelation`` the way projections do). Real
+    distributed inputs return None and keep their dataflow path."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() == "LocalRelation":
+            return df.collect()
+    except Exception:
+        return None
+    return None
+
+
 def attach_cleanup(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Attach a ``release_intermediates()`` handle to an operator's output.
 

@@ -37,6 +37,28 @@ def test_canonicalization_matches_fixture_ground_truth(spark):
     assert one_per_qid == 0
 
 
+def test_canonicalize_driver_route_matches_dataflow(spark):
+    """Round-6 driver fold: LocalRelation dims canonicalize in Python
+    (LocalRelation result, zero Spark jobs in the consumer), and the
+    result is row-identical to the dataflow path forced via RDD-backed
+    copies of the same dims (createDataFrame defeats the LocalRelation
+    detection, so the broadcast-join + winner-window plan runs)."""
+    local = canonicalize_qids(wikidata_claims_df(spark), wd_anchors_df(spark))
+    assert "LocalTableScan" in local._jdf.queryExecution().executedPlan().toString()
+
+    claims_rdd = spark.createDataFrame(
+        wikidata_claims_df(spark).collect(),
+        "qid string, property string, value_qid string",
+    )
+    anchors_rdd = spark.createDataFrame(
+        wd_anchors_df(spark).collect(),
+        "wd_class string, bfo_label string, class_uri string",
+    )
+    dataflow = canonicalize_qids(claims_rdd, anchors_rdd)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(local) == as_set(dataflow) and local.count() == 29
+
+
 def test_nearest_anchor_wins(spark):
     """wd:color is 2 hops from wd:property; distance recorded, conf 0.95."""
     canon = {r.qid: r for r in canonicalize_qids(

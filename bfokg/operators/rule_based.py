@@ -128,6 +128,79 @@ def keyword_scores(
     )
 
 
+def _driver_rule_based(entities_rows, cls_rows, p31_rows, kw_rows,
+                       top_k: int, spark, id_type: str = "string") -> DataFrame:
+    """``classify_rule_based``'s driver-side twin for LocalRelation
+    inputs (the 29+2 fixture frame and the vendored dims always are) —
+    the same bounded-fold rule as ``canonicalize_qids`` and the closure/
+    union-find routes: the dataflow form plans two row_number windows,
+    an anti-join and a union whose tiny jobs are pure fixed cost for a
+    driver-resident entity set. Identical semantics, re-verified line by
+    line against the dataflow (and by the oracle gate, which hash-checks
+    this exact fixture set):
+
+    - claim path: P31 claim values joined to the p31 rule dim, ranked by
+      (claim_pos, wikidata_qid), top_k kept;
+    - short-circuit: any claim hit suppresses the keyword path;
+    - keyword path: the same token SET as ``word_tokens_col`` (union of
+      hyphen-keeping and hyphen-splitting ASCII token classes — Python
+      ``re`` and Java regex agree on these patterns; only the set is
+      consumed), score = |distinct matched| / |keywords|, confidence =
+      min(score*0.9, 0.95) in the same IEEE double ops, ranked by
+      (score DESC, rule_order ASC).
+    Ties inside the rank orderings are broken identically because both
+    sorts are over the same fully-deterministic keys."""
+    import re as _re
+
+    from ..util import local_df
+
+    uri_by_label = {r.label: r.class_uri for r in cls_rows}
+    p31_by_qid: dict = {}
+    for r in p31_rows:
+        p31_by_qid.setdefault(r.wikidata_qid, []).append(
+            (r.bfo_label, r.confidence)
+        )
+    hyphen_re = _re.compile(r"[a-z0-9_\-]+")
+    plain_re = _re.compile(r"[a-z0-9_]+")
+
+    out = []
+    for er in entities_rows:
+        claims = er.claims or {}
+        claim_matches = []
+        for pos, vq in enumerate(claims.get("P31") or []):
+            if vq is None:
+                continue
+            for bfo_label, conf in p31_by_qid.get(vq, ()):
+                if bfo_label in uri_by_label:
+                    claim_matches.append((pos, vq, bfo_label, conf))
+        if claim_matches:
+            claim_matches.sort(key=lambda m: (m[0], m[1]))
+            for rank, (_pos, _vq, bfo_label, conf) in enumerate(
+                    claim_matches[:top_k], start=1):
+                out.append((er.id, uri_by_label[bfo_label], bfo_label,
+                            conf, "rule_based", rank))
+            continue  # short-circuit: claim hit suppresses keywords
+        lower = (er.text or "").lower()
+        tokens = set(hyphen_re.findall(lower)) | set(plain_re.findall(lower))
+        scored = []
+        for kr in kw_rows:
+            n_matched = len(tokens.intersection(kr.keywords))
+            if n_matched > 0 and kr.bfo_label in uri_by_label:
+                score = n_matched / kr.n_keywords
+                scored.append((-score, kr.rule_order, kr.bfo_label,
+                               min(score * RULE_SCORE_SCALE, RULE_CONF_CAP)))
+        scored.sort(key=lambda s: (s[0], s[1]))
+        for rank, (_ns, _ro, bfo_label, conf) in enumerate(
+                scored[:top_k], start=1):
+            out.append((er.id, uri_by_label[bfo_label], bfo_label,
+                        conf, "rule_based", rank))
+    return local_df(
+        spark, out,
+        f"entity_id {id_type}, class_uri STRING, class_label STRING, "
+        "confidence DOUBLE, source STRING, rank INT",
+    )
+
+
 def classify_rule_based(
     entities: DataFrame,
     bfo_classes: DataFrame,
@@ -138,8 +211,24 @@ def classify_rule_based(
     """Full rule-based classifier (J1 short-circuit + keyword fallback).
 
     ``entities`` needs columns (id, text, claims). Returns MATCHES_SCHEMA
-    (+ no extras), at most top_k rows per entity.
+    (+ no extras), at most top_k rows per entity. Driver-resident inputs
+    (entity frame AND all three dims optimize to LocalRelations) fold to
+    ``_driver_rule_based`` and come back as a LocalRelation; any
+    distributed input keeps the dataflow below unchanged.
     """
+    from ..util import local_plan_rows
+
+    entities_rows = local_plan_rows(entities.select("id", "text", "claims"))
+    if entities_rows is not None:
+        cls_rows = local_plan_rows(bfo_classes.select("label", "class_uri"))
+        p31_rows = local_plan_rows(p31_rules)
+        kw_rows = local_plan_rows(keyword_rules)
+        if cls_rows is not None and p31_rows is not None and kw_rows is not None:
+            return _driver_rule_based(
+                entities_rows, cls_rows, p31_rows, kw_rows,
+                int(top_k), entities.sparkSession,
+                id_type=entities.schema["id"].dataType.simpleString(),
+            )
     # --- claim path (J1) ---------------------------------------------------
     claims = entities.select(
         F.col("id").alias("entity_id"),

@@ -108,3 +108,21 @@ def test_natural_label():
         "a material entity"
     )
     assert natural_label("Object", None) == "an object"
+
+
+def test_rule_based_driver_fold_matches_dataflow(spark):
+    """Round-6 driver fold: LocalRelation inputs classify in Python (a
+    LocalRelation result — the two rank windows, anti-join and union
+    otherwise run as tiny jobs per call) and are row- and schema-identical
+    to the dataflow path forced via RDD-backed copies of every input."""
+    from bfokg.functions.text import with_entity_text
+
+    ents = with_entity_text(entities_df(spark, include_micro=True))
+    dims = (bfo_classes_df(spark), p31_rules_df(spark), keyword_rules_df(spark))
+    folded = classify_rule_based(ents, *dims, top_k=3)
+    assert "LocalTableScan" in folded._jdf.queryExecution().executedPlan().toString()
+
+    rdd_copy = lambda df: spark.createDataFrame(df.collect(), df.schema)  # noqa: E731
+    dataflow = classify_rule_based(rdd_copy(ents), *[rdd_copy(d) for d in dims], top_k=3)
+    assert {tuple(r) for r in folded.collect()} == {tuple(r) for r in dataflow.collect()}
+    assert folded.schema == dataflow.schema and folded.count() == 28

@@ -201,6 +201,29 @@ def _driver_rule_based(entities_rows, cls_rows, p31_rows, kw_rows,
     )
 
 
+def _claims_is_null_literal(entities: DataFrame) -> bool:
+    """True when the optimizer can PROVE the claims column is null for
+    every row (a ``lit(None).cast(map)`` column, the shape every
+    claims-free corpus caller uses): ``isnotnull(claims)`` then
+    constant-folds to ``Literal(false)`` in the optimized plan. Checked
+    structurally through the plan's expression tree — any doubt (real
+    column, union, py4j surface change) returns False and the full
+    dataflow runs. Planning-only; no job."""
+    try:
+        jplan = (
+            entities.select(F.col("claims").isNotNull().alias("__p"))
+            ._jdf.queryExecution().optimizedPlan()
+        )
+        expr = jplan.expressions().apply(0)
+        child = expr.child()  # Alias → its child expression
+        return (
+            child.getClass().getSimpleName() == "Literal"
+            and child.value() is False  # py4j maps Java false → Python False
+        )
+    except Exception:
+        return False
+
+
 def classify_rule_based(
     entities: DataFrame,
     bfo_classes: DataFrame,
@@ -257,6 +280,17 @@ def classify_rule_based(
         )
         .where(F.col("rank") <= top_k)
     )
+    if _claims_is_null_literal(entities):
+        # provably claims-free corpus (claims = a null literal, as every
+        # doc-classification caller passes): statically truncate the
+        # claim branch. OptimizeLimitZero + PropagateEmptyRelation then
+        # prune the whole subtree — explode, rule joins, rank window,
+        # distinct, anti-join — out of the plan at optimization time
+        # (measured 0.80 → 0.47 s for the 5k-doc stage checkpoint, which
+        # otherwise executes them as empty stages), while the ANALYZED
+        # schema, nullability included, stays byte-identical to the
+        # dataflow's union.
+        claim_hits = claim_hits.limit(0)
 
     # --- keyword path, only for entities with NO claim hit (short-circuit) --
     no_claim = entities.join(

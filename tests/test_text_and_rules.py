@@ -126,3 +126,28 @@ def test_rule_based_driver_fold_matches_dataflow(spark):
     dataflow = classify_rule_based(rdd_copy(ents), *[rdd_copy(d) for d in dims], top_k=3)
     assert {tuple(r) for r in folded.collect()} == {tuple(r) for r in dataflow.collect()}
     assert folded.schema == dataflow.schema and folded.count() == 28
+
+
+def test_rule_based_null_literal_claims_pruned(spark):
+    """Round-6: a provably-null claims column (lit(None).cast(map) — the
+    shape every doc-classification caller passes) statically truncates
+    the claim branch so the optimizer prunes its subtree; rows AND schema
+    (nullability included) stay identical to the dataflow over
+    data-borne null claims, which the optimizer cannot prove null."""
+    from pyspark.sql import functions as F
+
+    texts = [("d1", "a process event and activity of war", None),
+             ("d2", "an object person with color quality", None),
+             ("d3", "xyzzy nothing matches here", None)]
+    lit_claims = spark.createDataFrame(
+        [(i, t) for i, t, _ in texts], "id string, text string"
+    ).withColumn("claims", F.lit(None).cast("map<string,array<string>>"))
+    data_claims = spark.createDataFrame(
+        texts, "id string, text string, claims map<string,array<string>>"
+    )
+    dims = (bfo_classes_df(spark), p31_rules_df(spark), keyword_rules_df(spark))
+    pruned = classify_rule_based(lit_claims, *dims, top_k=3)
+    dataflow = classify_rule_based(data_claims, *dims, top_k=3)
+    assert "Generate" not in pruned._jdf.queryExecution().optimizedPlan().toString()
+    assert {tuple(r) for r in pruned.collect()} == {tuple(r) for r in dataflow.collect()}
+    assert pruned.schema == dataflow.schema
